@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/verify_local.py [sfDir] [outDir]
+Assumes graft.Verify has already written outDir/<name>/ parquet dirs and
+outDir/oracle_sql.json (run via: sbt "runMain graft.Verify <sfDir> <outDir>").
+
+Compares each Spark result against DuckDB running the oracle SQL over the
+same parquet tables: column names (sorted), row count, and exact values
+(rows sorted by all columns). Any mismatch is printed with a sample diff.
+"""
+import sys, json, glob, os
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails, passes = [], []
+for name, sql in sorted(oracle.items()):
+    spark_glob = f"{out_dir}/{name}/*.parquet"
+    if not glob.glob(spark_glob):
+        fails.append((name, "no spark output"))
+        continue
+    try:
+        got = con.sql(f"SELECT * FROM '{spark_glob}'").df()
+        want = con.sql(sql).df()
+    except Exception as e:
+        fails.append((name, f"exec error: {e}"))
+        continue
+    gc, wc = sorted(got.columns), sorted(want.columns)
+    if gc != wc:
+        fails.append((name, f"columns differ: spark={gc} oracle={wc}"))
+        continue
+    if len(got) != len(want):
+        fails.append((name, f"rowcount differs: spark={len(got)} oracle={len(want)}"))
+        continue
+    g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
+    w = want[wc].sort_values(by=wc, kind="mergesort").reset_index(drop=True)
+    g = g.astype(str)
+    w = w.astype(str)
+    neq = (g != w)
+    if neq.any().any():
+        bad = neq.any(axis=1)
+        idx = bad[bad].index[:3]
+        diff = "\n".join(
+            f"  row {i}: spark={g.loc[i].to_dict()} oracle={w.loc[i].to_dict()}"
+            for i in idx)
+        fails.append((name, f"{int(bad.sum())} differing rows:\n{diff}"))
+        continue
+    passes.append((name, len(got)))
+
+for name, n in passes:
+    print(f"PASS {name} ({n} rows)")
+for name, msg in fails:
+    print(f"FAIL {name}: {msg}")
+print(f"\n{len(passes)} pass / {len(fails)} fail "
+      f"(+{len([d for d in glob.glob(out_dir + '/*') if os.path.isdir(d)]) - len(oracle)} rows-only queries not checked)")
+sys.exit(1 if fails else 0)
