@@ -14,33 +14,28 @@ object SparkEntry {
 
   private lazy val families: Seq[Map[String, QueryDef]] = Seq(
     q.Bookkeeping.defs,
+    q.Views.defs,
+    q.Clean.defs,
+    q.LlmOps.defs,
   )
 
-  private lazy val defs: Map[String, QueryDef] =
-    families.reduce(_ ++ _)
+  private lazy val defs: Map[String, QueryDef] = {
+    val total = families.map(_.size).sum
+    val merged = families.foldLeft(Map.empty[String, QueryDef])(_ ++ _)
+    require(merged.size == total,
+      s"duplicate query names across families: ${total - merged.size} shadowed")
+    merged
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core consumer view: the arrivals/departures star join
     * (SURVEY.md §2.7 V2) re-expressed over the TPC-H-ish tables —
-    * fact ⋈ broadcast dims + grouped stats.
+    * fact ⋈ broadcast dims + grouped stats. Only the bounded dims
+    * (nation, region — fixed cardinality at any SF) are broadcast;
+    * customer scales with SF, so its join is left to AQE.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val d = "/root/testdata/sf0.001"
-    val li = Tables.lineitem(spark, d)
-    val o = Tables.orders(spark, d)
-    val c = Tables.customer(spark, d)
-    val n = Tables.nation(spark, d)
-    val r = Tables.region(spark, d)
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .groupBy("r_name", "o_orderstatus")
-      .agg(
-        count(lit(1)).as("n_lines"),
-        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
-      .orderBy("r_name", "o_orderstatus")
-  }
+  def entry(spark: SparkSession): DataFrame =
+    q.Views.v2Entry(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,382 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The gtfsclean cleaning transforms (SURVEY.md §2.4 C1-C16; flags
+  * assembled at /root/reference/import.sh:44-100), re-expressed as
+  * DataFrame programs over the driver's test tables with DuckDB oracles.
+  * The real GTFS-entity implementations live in `graft.gtfs.Clean`; each
+  * query here demonstrates the relational shape of one flag family.
+  *
+  * Scale notes: the dedup family (C11-C16) never collects groups — merge
+  * = groupBy-attrs + min(id) canonical + remap join; signature
+  * aggregations only see bounded groups (≤7 lineitems per order, ≤~15
+  * orders per customer — dimension-bounded, like real GTFS shapes/trips).
+  */
+object Clean {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // C2 --default-on-errs: invalid field values replaced with spec
+    // defaults (import.sh:53-55). Also demonstrates C5
+    // --keep-additional-fields=off: only spec columns are projected.
+    "c2_default_on_errs" -> QueryDef(
+      doc = "when(valid, col).otherwise(default) per typed column",
+      oracle = """
+        |SELECT l_returnflag,
+        |       count(*) AS n_rows,
+        |       count(*) FILTER (WHERE l_discount > 0.06) AS n_defaulted,
+        |       CAST(sum(CAST(round((CASE WHEN l_discount > 0.06 THEN 0.02
+        |                            ELSE l_discount END) * 1000) AS BIGINT)) AS BIGINT) AS disc_milli
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag
+        |""") { (s, d) =>
+      val fixed = when(col("l_discount") > 0.06, 0.02).otherwise(col("l_discount"))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("l_discount") > 0.06, 1)).as("n_defaulted"),
+          sum(round(fixed * 1000).cast("long")).as("disc_milli"))
+        .orderBy("l_returnflag")
+    },
+
+    // C3 --drop-errs: unrecoverable rows dropped by validity predicate
+    // (import.sh:56-58).
+    "c3_drop_errs" -> QueryDef(
+      doc = "validity-predicate filter dropping unrecoverable rows",
+      oracle = """
+        |SELECT l_linestatus, count(*) AS n_kept,
+        |       CAST(min(l_quantity) AS BIGINT) AS min_qty,
+        |       CAST(max(l_quantity) AS BIGINT) AS max_qty
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 1 AND 45 AND l_extendedprice > 100
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus
+        |""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_quantity").between(1, 45) && col("l_extendedprice") > 100)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n_kept"),
+          min("l_quantity").cast("long").as("min_qty"),
+          max("l_quantity").cast("long").as("max_qty"))
+        .orderBy("l_linestatus")
+    },
+
+    // C4 --check-null-coords: (0,0)/null coordinates are errors
+    // (import.sh:59-61). Coordinates synthesized from keys; every 53rd
+    // part plays the broken-GPS (0,0) stop.
+    "c4_null_coords" -> QueryDef(
+      doc = "filter (0,0)-coordinate rows",
+      oracle = """
+        |WITH pts AS (
+        |  SELECT l_returnflag,
+        |         CASE WHEN l_partkey % 53 = 0 THEN 0
+        |              ELSE l_partkey % 181 - 90 END AS lat,
+        |         CASE WHEN l_partkey % 53 = 0 THEN 0
+        |              ELSE l_suppkey % 361 - 180 END AS lon
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, count(*) AS n_valid,
+        |       CAST(min(lat) AS BIGINT) AS min_lat,
+        |       CAST(max(lon) AS BIGINT) AS max_lon
+        |FROM pts
+        |WHERE NOT (lat = 0 AND lon = 0)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag
+        |""") { (s, d) =>
+      val broken = col("l_partkey") % 53 === 0
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          when(broken, 0).otherwise(col("l_partkey") % 181 - 90).as("lat"),
+          when(broken, 0).otherwise(col("l_suppkey") % 361 - 180).as("lon"))
+        .where(!(col("lat") === 0 && col("lon") === 0))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_valid"),
+          min("lat").cast("long").as("min_lat"),
+          max("lon").cast("long").as("max_lon"))
+        .orderBy("l_returnflag")
+    },
+
+    // C9 --minimize-stoptimes: detect constant-headway runs per trip via
+    // lag windows and fold them into frequencies (import.sh:77-79).
+    // Islands pattern: delta bucket per consecutive pair, run boundaries
+    // where the bucket changes, running-sum run ids, fold per run.
+    "c9_headway_folding" -> QueryDef(
+      doc = "lag-delta runs → frequencies folding (islands pattern)",
+      oracle = """
+        |WITH deltas AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS dep,
+        |         (CAST(floor(epoch(ts)) AS BIGINT)
+        |          - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 300 AS db
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, dep, db,
+        |         CASE WHEN db IS DISTINCT FROM
+        |                   lag(db) OVER (PARTITION BY user_id ORDER BY dep, event_id)
+        |              THEN 1 ELSE 0 END AS boundary
+        |  FROM deltas WHERE db IS NOT NULL
+        |), runs AS (
+        |  SELECT user_id, dep, db,
+        |         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY dep, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, run_id, db AS headway_bucket,
+        |       count(*) + 1 AS n_trips,
+        |       min(dep) AS first_dep, max(dep) AS last_dep
+        |FROM runs
+        |GROUP BY user_id, run_id, db
+        |HAVING count(*) >= 2
+        |ORDER BY user_id, run_id
+        |""") { (s, d) =>
+      val wDep = Window.partitionBy("user_id").orderBy("dep", "event_id")
+      val deltas = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("dep"), col("ts"))
+        .select(col("user_id"), col("event_id"), col("dep"),
+          expr("(dep - lag(dep) over (partition by user_id order by ts, event_id)) div 300")
+            .as("db"))
+        .where(col("db").isNotNull)
+      val flagged = deltas.select(col("user_id"), col("event_id"), col("dep"), col("db"),
+        when(!(col("db") <=> lag("db", 1).over(wDep)), 1).otherwise(0).as("boundary"))
+      flagged
+        .select(col("user_id"), col("dep"), col("db"),
+          sum("boundary").over(wDep.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("run_id"))
+        .groupBy(col("user_id"), col("run_id"), col("db").as("headway_bucket"))
+        .agg((count(lit(1)) + 1).as("n_trips"),
+          min("dep").as("first_dep"), max("dep").as("last_dep"))
+        .where(col("n_trips") >= 3)
+        .orderBy("user_id", "run_id")
+    },
+
+    // C10 --delete-orphans: cascade-delete entities referencing missing
+    // parents (import.sh:80-82): stop_times→trips→routes chain as
+    // lineitem→orders→customer left-semi joins in dependency order.
+    "c10_delete_orphans" -> QueryDef(
+      doc = "orphan cascade: chained left-semi joins in dependency order",
+      oracle = """
+        |SELECT l_returnflag, count(*) AS n_survivors
+        |FROM lineitem
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey
+        |    AND EXISTS (SELECT 1 FROM customer
+        |                WHERE c_custkey = o_custkey AND c_acctbal > 0))
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag
+        |""") { (s, d) =>
+      val validCust = Tables.customer(s, d).where(col("c_acctbal") > 0)
+      val validOrders = Tables.orders(s, d)
+        .join(validCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      Tables.lineitem(s, d)
+        .join(validOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy("l_returnflag")
+    },
+
+    // C11 --remove-red-agencies: merge entities equal on all attributes,
+    // canonical id = min(id), remap referencing FKs (import.sh:83-85).
+    // part = agencies, lineitem.l_partkey = the FK being remapped.
+    "c11_merge_redundant" -> QueryDef(
+      doc = "groupBy-all-attrs merge + min-id canonical + FK remap join",
+      oracle = """
+        |WITH canon AS (
+        |  SELECT p_brand, p_type, p_size,
+        |         min(p_partkey) AS canonical, count(*) AS group_size
+        |  FROM part GROUP BY 1, 2, 3
+        |), remap AS (
+        |  SELECT p_partkey, canonical, group_size
+        |  FROM part JOIN canon USING (p_brand, p_type, p_size)
+        |)
+        |SELECT canonical, max(group_size) AS group_size, count(*) AS n_lines
+        |FROM lineitem JOIN remap ON l_partkey = p_partkey
+        |GROUP BY canonical
+        |ORDER BY canonical
+        |""") { (s, d) =>
+      val p = Tables.part(s, d)
+      val attrs = Seq("p_brand", "p_type", "p_size")
+      val canon = p.groupBy(attrs.map(col): _*)
+        .agg(min("p_partkey").as("canonical"), count(lit(1)).as("group_size"))
+      val remap = p.join(canon, attrs).select("p_partkey", "canonical", "group_size")
+      Tables.lineitem(s, d)
+        .join(remap, col("l_partkey") === col("p_partkey"))
+        .groupBy("canonical")
+        .agg(max("group_size").as("group_size"), count(lit(1)).as("n_lines"))
+        .orderBy("canonical")
+    },
+
+    // C12 --remove-red-routes: same merge family on a second entity;
+    // summary-level evidence (counts before/after + remapped FK rows).
+    "c12_merge_routes" -> QueryDef(
+      doc = "redundant-entity merge: before/after/remapped counts",
+      oracle = """
+        |WITH canon AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderpriority,
+        |         min(o_orderkey) AS canonical
+        |  FROM orders GROUP BY 1, 2, 3
+        |), remap AS (
+        |  SELECT o_orderkey, canonical
+        |  FROM orders JOIN canon USING (o_custkey, o_orderstatus, o_orderpriority)
+        |)
+        |SELECT count(DISTINCT o_orderkey) AS n_before,
+        |       count(DISTINCT canonical) AS n_after,
+        |       (SELECT count(*) FROM lineitem JOIN remap ON l_orderkey = o_orderkey
+        |        WHERE o_orderkey <> canonical) AS n_lines_remapped
+        |FROM remap
+        |""") { (s, d) =>
+      val o = Tables.orders(s, d)
+      val attrs = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+      val canon = o.groupBy(attrs.map(col): _*).agg(min("o_orderkey").as("canonical"))
+      val remap = o.join(canon, attrs).select("o_orderkey", "canonical")
+      val remapped = Tables.lineitem(s, d)
+        .join(remap.where(col("o_orderkey") =!= col("canonical")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      remap.agg(
+        countDistinct("o_orderkey").as("n_before"),
+        countDistinct("canonical").as("n_after"))
+        .crossJoin(remapped.agg(count(lit(1)).as("n_lines_remapped")))
+    },
+
+    // C13 --remove-red-services: services with identical *date sets*
+    // merged (import.sh:89-91): per-service ordered distinct-date digest
+    // → group equal signatures → min-id canonical.
+    "c13_dateset_merge" -> QueryDef(
+      doc = "date-set signature (ordered distinct dates digest) merge",
+      oracle = """
+        |WITH ds AS (
+        |  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS dt FROM orders
+        |), sig AS (
+        |  SELECT o_custkey,
+        |         substr(sha256(string_agg(strftime(dt, '%Y-%m-%d'), ',' ORDER BY dt)), 1, 8) AS dsig,
+        |         count(*) AS n_dates
+        |  FROM ds GROUP BY o_custkey
+        |)
+        |SELECT dsig, min(o_custkey) AS canonical,
+        |       count(*) AS n_services, max(n_dates) AS n_dates
+        |FROM sig
+        |GROUP BY dsig
+        |ORDER BY canonical
+        |""") { (s, d) =>
+      val ds = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("dt"))
+        .distinct()
+      val sig = ds
+        .select(col("o_custkey"), date_format(col("dt"), "yyyy-MM-dd").as("dstr"), col("dt"))
+        .groupBy("o_custkey")
+        .agg(
+          substring(sha2(array_join(transform(
+            array_sort(collect_list(struct(col("dt"), col("dstr")))),
+            x => x.getField("dstr")), ","), 256), 1, 8).as("dsig"),
+          count(lit(1)).as("n_dates"))
+      sig.groupBy("dsig")
+        .agg(min("o_custkey").as("canonical"),
+          count(lit(1)).as("n_services"), max("n_dates").as("n_dates"))
+        .orderBy("canonical")
+    },
+
+    // C14 --remove-red-shapes: identical polylines merged
+    // (import.sh:92-94); summary counts over polyline digests.
+    "c14_shape_merge" -> QueryDef(
+      doc = "ordered polyline digest → duplicate-shape summary",
+      oracle = """
+        |WITH sig AS (
+        |  SELECT l_orderkey,
+        |         sha256(string_agg(
+        |           CAST(l_partkey AS VARCHAR) || ',' || CAST(l_suppkey AS VARCHAR),
+        |           ';' ORDER BY l_linenumber, l_partkey, l_suppkey)) AS ssig
+        |  FROM lineitem GROUP BY l_orderkey
+        |)
+        |SELECT count(*) AS n_shapes,
+        |       count(DISTINCT ssig) AS n_distinct,
+        |       count(*) - count(DISTINCT ssig) AS n_merged
+        |FROM sig
+        |""") { (s, d) =>
+      val sig = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          concat(col("l_partkey").cast("string"), lit(","),
+            col("l_suppkey").cast("string")).as("pt"))
+        .groupBy("l_orderkey")
+        .agg(sha2(array_join(transform(
+          array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("pt")))),
+          x => x.getField("pt")), ";"), 256).as("ssig"))
+      sig.agg(count(lit(1)).as("n_shapes"),
+        countDistinct("ssig").as("n_distinct"),
+        (count(lit(1)) - countDistinct("ssig")).as("n_merged"))
+    },
+
+    // C15 --remove-red-stops: duplicate stops merged, referencing
+    // stop_times remapped (import.sh:95-97). customer = stops on
+    // (nation, segment) attrs; orders = the stop_times being remapped.
+    "c15_stop_merge" -> QueryDef(
+      doc = "duplicate-stop merge + referencing-table remap",
+      oracle = """
+        |WITH canon AS (
+        |  SELECT c_nationkey, c_mktsegment, min(c_custkey) AS canonical,
+        |         count(*) AS group_size
+        |  FROM customer GROUP BY 1, 2
+        |), remap AS (
+        |  SELECT c_custkey, canonical, group_size
+        |  FROM customer JOIN canon USING (c_nationkey, c_mktsegment)
+        |)
+        |SELECT canonical, max(group_size) AS group_size, count(*) AS n_orders
+        |FROM orders JOIN remap ON o_custkey = c_custkey
+        |GROUP BY canonical
+        |ORDER BY canonical
+        |""") { (s, d) =>
+      val c = Tables.customer(s, d)
+      val attrs = Seq("c_nationkey", "c_mktsegment")
+      val canon = c.groupBy(attrs.map(col): _*)
+        .agg(min("c_custkey").as("canonical"), count(lit(1)).as("group_size"))
+      val remap = c.join(canon, attrs).select("c_custkey", "canonical", "group_size")
+      Tables.orders(s, d)
+        .join(remap, col("o_custkey") === col("c_custkey"))
+        .groupBy("canonical")
+        .agg(max("group_size").as("group_size"), count(lit(1)).as("n_orders"))
+        .orderBy("canonical")
+    },
+
+    // C16 --remove-red-trips: trips identical in (route, service,
+    // stop-time sequence) merged (import.sh:98-100): trip signature =
+    // digest of the ordered (stop, arr, dep) tuples.
+    "c16_trip_merge" -> QueryDef(
+      doc = "ordered stop-time-sequence signature merge per trip",
+      oracle = """
+        |WITH sig AS (
+        |  SELECT l_orderkey,
+        |         substr(sha256(string_agg(
+        |           CAST(l_suppkey AS VARCHAR) || ':' ||
+        |           CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || ':' ||
+        |           CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR),
+        |           '|' ORDER BY l_linenumber, l_suppkey, l_quantity, l_discount)), 1, 8) AS tsig
+        |  FROM lineitem GROUP BY l_orderkey
+        |)
+        |SELECT tsig, min(l_orderkey) AS canonical, count(*) AS n_trips
+        |FROM sig
+        |GROUP BY tsig
+        |ORDER BY canonical
+        |""") { (s, d) =>
+      val st = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey"), col("l_quantity"), col("l_discount"),
+          concat_ws(":",
+            col("l_suppkey").cast("string"),
+            col("l_quantity").cast("long").cast("string"),
+            round(col("l_discount") * 100).cast("long").cast("string")).as("stp"))
+      val sig = st.groupBy("l_orderkey")
+        .agg(substring(sha2(array_join(transform(
+          array_sort(collect_list(struct(col("l_linenumber"), col("l_suppkey"),
+            col("l_quantity"), col("l_discount"), col("stp")))),
+          x => x.getField("stp")), "|"), 256), 1, 8).as("tsig"))
+      sig.groupBy("tsig")
+        .agg(min("l_orderkey").as("canonical"), count(lit(1)).as("n_trips"))
+        .orderBy("canonical")
+    },
+  )
+}

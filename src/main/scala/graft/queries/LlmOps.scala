@@ -1,0 +1,466 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.Column
+import graft.Tables
+
+/** Large-scale training-data pipeline operators (builder brief; VERDICT
+  * round-1 item 5): deduplication (exact, MinHash-LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine), similarity search (brute-force + IVF
+  * cell-bucketed ANN), text analysis (lang-ID, quality, token counting,
+  * fingerprinting) and nested/JSON columns. Multimodal binary plumbing is
+  * in `graft.functions.Multimodal` (tested in scalatest; the decode step
+  * is stubbed per the brief — no image libs in this container).
+  *
+  * Scale design (100 TB):
+  *  - NO all-pairs anywhere: MinHash-LSH joins on (band_id, band_key)
+  *    buckets; Jaccard runs only on blocked candidates; ANN-IVF joins on
+  *    the coarse-quantizer cell; the only cross join is against a
+  *    broadcast of ≤20 query vectors (bounded, not data-scale).
+  *  - hashing is sha2 (codegen'd Catalyst expression), no UDFs;
+  *  - dot products are exact scaled-integer arithmetic via
+  *    zip_with+aggregate — order-independent, engine-portable, and
+  *    whole-stage-codegen friendly;
+  *  - per-doc state is bounded (shingle arrays ~doc length; band keys 2
+  *    hashes) — nothing collects a data-scale group.
+  */
+object LlmOps {
+
+  /** Scaled-int fixed-point: floor(x*1e6 + 0.5) as long — deterministic
+    * in both engines (no round-half tie ambiguity). */
+  private def fx(c: Column): Column = floor(c.cast("double") * 1000000 + 0.5).cast("long")
+
+  /** Exact scaled-integer dot product of two float-array columns. */
+  private def dotScaled(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => fx(x) * fx(y)), lit(0L), (acc, v) => acc + v)
+
+  private val DOT =
+    """list_sum([CAST(floor(CAST(%s[i] AS DOUBLE)*1000000 + 0.5) AS BIGINT)
+      |          * CAST(floor(CAST(%s[i] AS DOUBLE)*1000000 + 0.5) AS BIGINT)
+      |          FOR i IN range(1, len(%s) + 1)])""".stripMargin
+
+  private def dotSql(a: String, b: String): String = DOT.format(a, b, a)
+
+  /** 3-token shingles of a lowercase space-separated text column. */
+  private def shingles(tokens: Column): Column =
+    transform(sequence(lit(1), size(tokens) - 2),
+      i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
+        element_at(tokens, i + 2)))
+
+  private val shingleSql = // per-doc shingle rows; expects `toks` list col
+    """SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      |FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+      |WHERE len(toks) >= 3""".stripMargin
+
+  /** documents ∪ a perturbed copy (first token dropped, doc_id+1000000):
+    * guarantees the corpus contains true near-duplicates so the dedup
+    * operators produce non-empty, checkable candidate sets. */
+  private def corpus(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(docs.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+      |FROM documents""".stripMargin
+
+  // 16 SimHash bit aggregates, generated once for both engines.
+  private val simhashBitsSql: String = (0 until 16).map { j =>
+    s"CASE WHEN sum(CASE WHEN substr(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+  }.mkString(" || ")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Exact dedup: hash-groupBy on full text (the cheap first pass every
+    // training-data pipeline runs before fuzzy dedup).
+    "llm_dedup_exact" -> QueryDef(
+      doc = "exact dedup: sha2(text) groupBy, min-id canonical",
+      oracle = """
+        |SELECT substr(sha256(text), 1, 12) AS text_digest,
+        |       min(doc_id) AS canonical, count(*) AS n_docs,
+        |       CAST(min(n_chars) AS BIGINT) AS n_chars
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY canonical
+        |""") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(substring(sha2(col("text"), 256), 1, 12).as("text_digest"))
+        .agg(min("doc_id").as("canonical"), count(lit(1)).as("n_docs"),
+          min("n_chars").cast("long").as("n_chars"))
+        .orderBy("canonical")
+    },
+
+    // MinHash-LSH banded near-dup candidates: shingle → 8 salted
+    // minhashes → 4 bands × 2 rows → bucket-join on (band, key).
+    // Never all-pairs: the join key is the band signature.
+    "llm_minhash_lsh" -> QueryDef(
+      doc = "MinHash + banded LSH bucket join → candidate pairs",
+      oracle = s"""
+        |WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM ($corpusSql)
+        |), shing AS (
+        |  $shingleSql
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |         min(substr(sha256(CAST(s.seed AS VARCHAR) || '|' || sh), 1, 16)) AS h
+        |  FROM shing, (SELECT unnest(range(8)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band_id,
+        |         string_agg(h, '' ORDER BY seed) AS band_key
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b USING (band_id, band_key)
+        |WHERE a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b
+        |""") { (s, d) =>
+      val docs = corpus(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+      val shing = docs.select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
+      val mh = shing
+        .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(7))).as("seed"))
+        .groupBy("doc_id", "seed")
+        .agg(min(substring(sha2(
+          concat(col("seed").cast("string"), lit("|"), col("sh")), 256), 1, 16)).as("h"))
+      val bands = mh
+        .groupBy(col("doc_id"), expr("seed div 2").as("band_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("seed"), col("h")))),
+          x => x.getField("h")), "").as("band_key"))
+      val a = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+      val b = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("band_id", "band_key"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash: 16-bit signature from per-token hash nibbles (±1 votes per
+    // bit position, weighted by token frequency). One shuffle, no explode
+    // beyond tokens.
+    "llm_simhash" -> QueryDef(
+      doc = "SimHash 16-bit document signature from token-hash votes",
+      oracle = s"""
+        |WITH toks AS (
+        |  SELECT doc_id, substr(sha256(t), 1, 16) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |)
+        |SELECT doc_id, $simhashBitsSql AS simhash
+        |FROM toks GROUP BY doc_id
+        |ORDER BY doc_id
+        |""") { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), substring(sha2(col("t"), 256), 1, 16).as("h"))
+      val bitCols = (0 until 16).map { j =>
+        when(sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1)) > 0, "1")
+          .otherwise("0")
+      }
+      toks.groupBy("doc_id")
+        .agg(concat(bitCols: _*).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // n-gram Jaccard on BLOCKED candidates: (lang, length-bucket) blocks
+    // bound the pair space; exact 3-shingle Jaccard re-ranks. At scale
+    // the blocks come from LSH buckets — never an unblocked self-join.
+    "llm_ngram_jaccard" -> QueryDef(
+      doc = "blocked candidate pairs + exact 3-shingle Jaccard",
+      oracle = """
+        |WITH docs AS (
+        |  SELECT doc_id, lang, n_chars // 50 AS lbucket,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang, lbucket,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        FOR i IN range(1, len(toks) - 1)]) AS shs
+        |  FROM docs WHERE len(toks) >= 3
+        |)
+        |SELECT doc_a, doc_b, jacc_milli FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(floor(1000.0 * len(list_intersect(a.shs, b.shs))
+        |              / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))))
+        |              AS BIGINT) AS jacc_milli
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.lbucket = b.lbucket
+        |                     AND a.doc_id < b.doc_id
+        |)
+        |WHERE jacc_milli >= 100
+        |ORDER BY doc_a, doc_b
+        |""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr("n_chars div 50").as("lbucket"),
+          split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("lang"), col("lbucket"),
+          array_distinct(shingles(col("toks"))).as("shs"))
+      val a = docs.select(col("lang"), col("lbucket"),
+        col("doc_id").as("doc_a"), col("shs").as("sha_"))
+      val b = docs.select(col("lang"), col("lbucket"),
+        col("doc_id").as("doc_b"), col("shs").as("shb_"))
+      val inter = size(array_intersect(col("sha_"), col("shb_")))
+      a.join(b, Seq("lang", "lbucket"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          floor(lit(1000.0) * inter / (size(col("sha_")) + size(col("shb_")) - inter))
+            .cast("long").as("jacc_milli"))
+        .where(col("jacc_milli") >= 100)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Embedding-cosine near-dup: pairs within the coarse cell (label)
+    // whose cosine ≥ 0.28 — exact scaled-int dot + IEEE sqrt norms.
+    "llm_cosine_neardup" -> QueryDef(
+      doc = "cell-bucketed embedding-cosine near-duplicate pairs",
+      oracle = s"""
+        |WITH v AS (SELECT vec_id, label, embedding AS e FROM embeddings)
+        |SELECT vec_a, vec_b, cos_milli FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         CAST(floor(1000.0 * (${dotSql("a.e", "b.e")})
+        |              / (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})))
+        |              AS BIGINT) AS cos_milli
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |WHERE cos_milli >= 280
+        |ORDER BY vec_a, vec_b
+        |""") { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      val a = v.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = v.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, Seq("label"))
+        .where(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          floor(lit(1000.0) * dotScaled(col("ea"), col("eb")) /
+            (sqrt(dotScaled(col("ea"), col("ea")).cast("double")) *
+              sqrt(dotScaled(col("eb"), col("eb")).cast("double"))))
+            .cast("long").as("cos_milli"))
+        .where(col("cos_milli") >= 280)
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // Brute-force cosine/dot top-k: the ANN correctness baseline. The
+    // only cross join in the library — against a bounded broadcast query
+    // set (4 vectors), i.e. a BroadcastNestedLoopJoin over one scan.
+    "llm_ann_brute" -> QueryDef(
+      doc = "brute-force top-k by exact scaled-int dot product",
+      oracle = s"""
+        |WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+        |pairs AS (
+        |  SELECT qid, cid, CAST(${dotSql("qe", "ce")} AS BIGINT) AS dot_scaled
+        |  FROM q, c
+        |)
+        |SELECT qid, cid, dot_scaled, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |                               ORDER BY dot_scaled DESC, cid) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 10
+        |ORDER BY qid, rank
+        |""") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val w = Window.partitionBy("qid").orderBy(desc("dot_scaled"), asc("cid"))
+      c.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"),
+          dotScaled(col("qe"), col("ce")).as("dot_scaled"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .orderBy("qid", "rank")
+    },
+
+    // IVF-style ANN: the coarse quantizer cell (label) bounds the
+    // candidate set — an equi join, not a cross join. The scale path:
+    // probe only matching cells, re-rank exactly within them.
+    "llm_ann_ivf" -> QueryDef(
+      doc = "IVF cell-bucketed ANN: equi-join on coarse cell + exact re-rank",
+      oracle = s"""
+        |WITH q AS (SELECT vec_id AS qid, label, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, label, embedding AS ce FROM embeddings),
+        |pairs AS (
+        |  SELECT qid, cid, CAST(${dotSql("qe", "ce")} AS BIGINT) AS dot_scaled
+        |  FROM q JOIN c USING (label)
+        |)
+        |SELECT qid, cid, dot_scaled, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |                               ORDER BY dot_scaled DESC, cid) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 5
+        |ORDER BY qid, rank
+        |""") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cid"), col("label"), col("embedding").as("ce"))
+      val w = Window.partitionBy("qid").orderBy(desc("dot_scaled"), asc("cid"))
+      q.join(c, Seq("label"))
+        .select(col("qid"), col("cid"),
+          dotScaled(col("qe"), col("ce")).as("dot_scaled"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .orderBy("qid", "rank")
+    },
+
+    // Language-ID: function-word n-gram heuristic (stopword hit ratio)
+    // scored against the labelled lang column.
+    "llm_lang_id" -> QueryDef(
+      doc = "lang-ID heuristic: stopword-ratio threshold vs labels",
+      oracle = """
+        |WITH x AS (
+        |  SELECT lang,
+        |         CASE WHEN 1000 * len(list_filter(string_split(text, ' '),
+        |                    t -> t IN ('the', 'a')))
+        |                   // len(string_split(text, ' ')) >= 100
+        |              THEN 'en-like' ELSE 'other' END AS predicted
+        |  FROM documents
+        |)
+        |SELECT lang, predicted, count(*) AS n_docs
+        |FROM x GROUP BY lang, predicted
+        |ORDER BY lang, predicted
+        |""") { (s, d) =>
+      val toks = split(col("text"), " ")
+      val nStop = size(filter(toks, t => t.isin("the", "a")))
+      Tables.documents(s, d)
+        .select(col("lang"), (nStop * 1000).as("stop_k"), size(toks).as("n_toks"))
+        // stop_k div n_toks matches DuckDB's // floor division (args > 0)
+        .select(col("lang"),
+          when(expr("stop_k div n_toks") >= 100, "en-like")
+            .otherwise("other").as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    },
+
+    // Quality scoring: token counts, stopword ratio, average token
+    // length — the standard cheap pre-training quality filters.
+    "llm_quality_score" -> QueryDef(
+      doc = "doc quality: token count, stopword ratio, avg token length",
+      oracle = """
+        |WITH x AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the', 'a', 'of', 'to'))) AS n_stop,
+        |         length(text) AS n_chars_m
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens,
+        |       CAST(floor(1000.0 * n_stop / n_tokens) AS BIGINT) AS stop_milli,
+        |       CAST(floor(1000.0 * (n_chars_m - n_tokens + 1) / n_tokens) AS BIGINT)
+        |         AS avg_tok_len_milli,
+        |       CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 'good' ELSE 'flag' END AS bucket
+        |FROM x ORDER BY doc_id
+        |""") { (s, d) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          size(filter(toks, t => t.isin("the", "a", "of", "to"))).as("n_stop"),
+          length(col("text")).as("n_chars_m"))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(lit(1000.0) * col("n_stop") / col("n_tokens")).cast("long").as("stop_milli"),
+          floor(lit(1000.0) * (col("n_chars_m") - col("n_tokens") + 1) / col("n_tokens"))
+            .cast("long").as("avg_tok_len_milli"),
+          when(col("n_tokens").between(20, 80), "good").otherwise("flag").as("bucket"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    // (letter runs / digit runs / single other chars).
+    "llm_token_count" -> QueryDef(
+      doc = "whitespace + BPE-ish regex token counts",
+      oracle = """
+        |SELECT doc_id,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+        |FROM documents
+        |ORDER BY doc_id
+        |""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .as("re_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: bottom-3 sketch of shingle hashes
+    // (winnowing-style); per-doc state bounded at 3 hashes.
+    "llm_fingerprint" -> QueryDef(
+      doc = "bottom-k shingle-hash document fingerprint",
+      oracle = s"""
+        |WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), shing AS (
+        |  $shingleSql
+        |), hs AS (
+        |  SELECT DISTINCT doc_id, substr(sha256(sh), 1, 12) AS h FROM shing
+        |), ranked AS (
+        |  SELECT doc_id, h,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        |  FROM hs
+        |)
+        |SELECT doc_id, string_agg(h, '-' ORDER BY h) AS fingerprint
+        |FROM ranked WHERE rn <= 3
+        |GROUP BY doc_id
+        |ORDER BY doc_id
+        |""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+      val hs = docs
+        .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
+        .select(col("doc_id"), substring(sha2(col("sh"), 256), 1, 12).as("h"))
+        .distinct()
+      val w = Window.partitionBy("doc_id").orderBy("h")
+      hs.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .groupBy("doc_id")
+        .agg(array_join(array_sort(collect_list(col("h"))), "-").as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // Nested/JSON column extraction over events.props.
+    "llm_json_extract" -> QueryDef(
+      doc = "from_json/get_json_object extraction + grouped stats",
+      oracle = """
+        |SELECT event_type,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, k_mod
+        |""") { (s, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), (k % 7).as("k_mod"))
+        .agg(count(lit(1)).as("n_events"), sum(k).as("k_sum"))
+        .orderBy("event_type", "k_mod")
+    },
+
+    // Multimodal plumbing (rows-only): opaque binary column + typed
+    // metadata, fully distributed (no collect). Decode/feature-extract
+    // stubs live in graft.functions.Multimodal (scalatest-covered).
+    "llm_multimodal_meta" -> QueryDef.noOracle(
+      doc = "binary column + typed metadata plumbing (decode stubbed)") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          encode(col("text"), "utf-8").as("blob"))
+        .select(col("doc_id"),
+          struct(
+            length(col("blob")).as("byte_len"),
+            lower(hex(substring(col("blob"), 1, 8))).as("header_hex"),
+            lit("text/plain").as("mime")).as("meta"))
+        .orderBy("doc_id")
+    },
+  )
+}
