@@ -1,0 +1,211 @@
+package graft.gtfs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The consumer query surface gtfs-via-postgres generates into each
+  * imported DB (SURVEY.md §2.7 V1-V8; flags at
+  * /root/reference/import.sh:124-129), re-expressed as DataFrame
+  * programs over a cleaned [[Clean.Feed]].
+  *
+  * Scale design: dimension tables (agency, routes, calendar) are
+  * broadcast into the star join; the fact table (stop_times) is only
+  * ever shuffled on its natural keys; date expansion is bounded per
+  * calendar row; the derived arrivals/departures table is partitionable
+  * by service date (partition pruning for date-ranged queries).
+  */
+object Views {
+
+  import Clean.Feed
+
+  /** V1: service_days — one row (service_id, svc_date) per active day:
+    * expand calendar's weekly mask over [start_date, end_date], add
+    * exception_type=1 dates, remove exception_type=2 dates. */
+  def serviceDays(feed: Feed): DataFrame = {
+    val fromCal = feed.get("calendar").map { cal =>
+      cal.select(col("service_id"),
+        to_date(col("start_date"), "yyyyMMdd").as("d0"),
+        to_date(col("end_date"), "yyyyMMdd").as("d1"),
+        array(col("monday"), col("tuesday"), col("wednesday"), col("thursday"),
+          col("friday"), col("saturday"), col("sunday")).as("mask"))
+        .where(col("d0").isNotNull && col("d1").isNotNull && col("d0") <= col("d1"))
+        .select(col("service_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("svc_date"), col("mask"))
+        // weekday(): Monday=0 .. Sunday=6 — matches the mask array order
+        .where(element_at(col("mask"), expr("weekday(svc_date)") + 1) === 1)
+        .select("service_id", "svc_date")
+    }
+    val cd = feed.get("calendar_dates").map(_.select(col("service_id"),
+      to_date(col("date"), "yyyyMMdd").as("svc_date"), col("exception_type")))
+    val added = cd.map(_.where(col("exception_type") === 1)
+      .select("service_id", "svc_date"))
+    val removed = cd.map(_.where(col("exception_type") === 2)
+      .select("service_id", "svc_date"))
+    val base = (fromCal.toSeq ++ added.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalArgumentException(
+        "feed has neither calendar nor calendar_dates"))
+    removed.foldLeft(base.distinct())((b, r) =>
+      b.join(r, Seq("service_id", "svc_date"), "left_anti"))
+  }
+
+  /** V3 helper: per-trip replication offsets. Frequency-based trips
+    * (frequencies.txt) run every headway_secs within half-open
+    * [start_time, end_time): shift = offset − first scheduled departure.
+    * Non-frequency trips get shift 0. */
+  private def tripShifts(feed: Feed): DataFrame = {
+    val trips = feed("trips")
+    val base = trips.select(col("trip_id"), lit(0L).as("shift"))
+    feed.get("frequencies") match {
+      case Some(fr) =>
+        val t0 = feed("stop_times")
+          .groupBy("trip_id")
+          .agg(min(GtfsTime.toSeconds(col("departure_time"))).as("t0"))
+        val freqShifts = fr
+          .select(col("trip_id"),
+            GtfsTime.toSeconds(col("start_time")).as("s0"),
+            GtfsTime.toSeconds(col("end_time")).as("s1"),
+            col("headway_secs").cast("long").as("hw"))
+          .where(col("hw") > 0 && col("s1") > col("s0"))
+          // half-open [s0, s1): sequence is inclusive → stop at s1-1
+          .select(col("trip_id"),
+            explode(expr("sequence(s0, s1 - 1, hw)")).as("dep0"))
+          .join(t0, Seq("trip_id"))
+          .select(col("trip_id"), (col("dep0") - col("t0")).as("shift"))
+        val freqTripIds = fr.select("trip_id").distinct()
+        base.join(freqTripIds, Seq("trip_id"), "left_anti")
+          .unionByName(freqShifts)
+      case None => base
+    }
+  }
+
+  /** V2 (+V3): arrivals_departures — the star join. One row per stop
+    * event per service day (frequency trips replicated), with absolute
+    * UTC timestamps computed DST-correctly in the agency timezone via
+    * the noon−12h anchor ([[GtfsTime]]).
+    *
+    * Output is partitionable by svc_date; dims are broadcast. */
+  def arrivalsDepartures(feed: Feed, defaultTz: String = "UTC"): DataFrame = {
+    val st = feed("stop_times")
+    val trips = feed("trips")
+    val routes = feed.get("routes")
+    val agency = feed.get("agency")
+    val days = serviceDays(feed)
+    val shifts = tripShifts(feed)
+
+    val tripsR = routes match {
+      case Some(r) =>
+        val withAgency = agency match {
+          case Some(a) => r.join(
+            broadcast(a.select(col("agency_id"),
+              coalesce(col("agency_timezone"), lit(defaultTz)).as("tz"))),
+            Seq("agency_id"), "left")
+          case None => r.withColumn("tz", lit(defaultTz))
+        }
+        trips.join(broadcast(withAgency.select(col("route_id"),
+          col("route_short_name"), col("route_type"),
+          coalesce(col("tz"), lit(defaultTz)).as("tz"))), Seq("route_id"), "left")
+      case None => trips.withColumn("tz", lit(defaultTz))
+        .withColumn("route_short_name", lit(null).cast("string"))
+        .withColumn("route_type", lit(null).cast("int"))
+    }
+
+    val events = st
+      .join(shifts, Seq("trip_id"))
+      .join(tripsR.select("trip_id", "route_id", "service_id",
+        "route_short_name", "route_type", "tz"), Seq("trip_id"))
+      .join(days, Seq("service_id"))
+      .withColumn("arr_s", GtfsTime.toSeconds(col("arrival_time")) + col("shift"))
+      .withColumn("dep_s", GtfsTime.toSeconds(col("departure_time")) + col("shift"))
+      .withColumn("t_arrival",
+        (GtfsTime.anchorUtc(col("svc_date"), coalesce(col("tz"), lit(defaultTz)))
+          .cast("long") + col("arr_s")).cast("timestamp"))
+      .withColumn("t_departure",
+        (GtfsTime.anchorUtc(col("svc_date"), coalesce(col("tz"), lit(defaultTz)))
+          .cast("long") + col("dep_s")).cast("timestamp"))
+
+    val withStops = feed.get("stops") match {
+      case Some(stops) => events.join(
+        stops.select(col("stop_id"), col("stop_name"), col("stop_lat"),
+          col("stop_lon"), col("parent_station")),
+        Seq("stop_id"), "left")
+      case None => events
+    }
+    withStops.select("stop_id", "stop_name", "trip_id", "route_id",
+      "route_short_name", "route_type", "service_id", "svc_date",
+      "stop_sequence", "shift", "t_arrival", "t_departure")
+  }
+
+  /** V4: connections — consecutive stop_time pairs per trip as
+    * routable edges (from_stop, t_departure) → (to_stop, t_arrival). */
+  def connections(feed: Feed, defaultTz: String = "UTC"): DataFrame = {
+    // each frequency replica (distinct shift) is its own journey
+    val w = Window.partitionBy("trip_id", "svc_date", "shift")
+      .orderBy("stop_sequence")
+    arrivalsDepartures(feed, defaultTz)
+      .withColumn("to_stop_id", lead("stop_id", 1).over(w))
+      .withColumn("t_to_arrival", lead("t_arrival", 1).over(w))
+      .where(col("to_stop_id").isNotNull)
+      .select(col("trip_id"), col("route_id"), col("service_id"), col("svc_date"),
+        col("stop_id").as("from_stop_id"), col("t_departure"),
+        col("to_stop_id"), col("t_to_arrival"), col("stop_sequence"))
+  }
+
+  /** V5: shapes_aggregated — ordered points folded into one WKT
+    * LINESTRING per shape (ST_MakeLine analog). Bounded per-shape. */
+  def shapesAggregated(feed: Feed): DataFrame =
+    feed("shapes")
+      .select(col("shape_id"),
+        struct(col("shape_pt_sequence"), col("shape_pt_lon"), col("shape_pt_lat")).as("p"))
+      .groupBy("shape_id")
+      .agg(
+        count(lit(1)).as("n_points"),
+        concat(lit("LINESTRING("),
+          array_join(transform(array_sort(collect_list(col("p"))),
+            x => concat_ws(" ",
+              x.getField("shape_pt_lon").cast("string"),
+              x.getField("shape_pt_lat").cast("string"))), ","),
+          lit(")")).as("wkt"))
+
+  /** V6: stats_by_route_date — arrival/departure counts per (route,
+    * service date) with distinct-trip counts. */
+  def statsByRouteDate(feed: Feed, defaultTz: String = "UTC"): DataFrame =
+    arrivalsDepartures(feed, defaultTz)
+      .groupBy("route_id", "svc_date")
+      .agg(count(lit(1)).as("n_stop_events"),
+        countDistinct("trip_id").as("n_trips"),
+        countDistinct("stop_id").as("n_stops"))
+
+  /** V7: stats_active_trips_by_hour — trips whose [first departure,
+    * last arrival] span overlaps each hour bucket; bounded explode
+    * (trip span in hours), no inequality join. */
+  def activeTripsByHour(feed: Feed, defaultTz: String = "UTC"): DataFrame =
+    arrivalsDepartures(feed, defaultTz)
+      .groupBy("trip_id", "svc_date")
+      .agg(min(col("t_departure").cast("long")).as("t_start"),
+        max(col("t_arrival").cast("long")).as("t_end"))
+      .select(explode(expr("sequence(t_start div 3600, t_end div 3600, 1)"))
+        .as("hour_bucket"))
+      .groupBy("hour_bucket")
+      .agg(count(lit(1)).as("n_active_trips"))
+
+  /** V8: translations — generic lookup join; language codes
+    * lower-cased (L2 --lower-case-lang-codes, import.sh:125). */
+  def translatedStopNames(feed: Feed): DataFrame = {
+    val tr = feed("translations")
+      .where(col("table_name") === "stops" && col("field_name") === "stop_name")
+      .select(col("record_id").as("stop_id"),
+        lower(col("language")).as("language"), col("translation"))
+    feed("stops").join(broadcast(tr), Seq("stop_id"), "left")
+      .select(col("stop_id"), col("stop_name"), col("language"),
+        coalesce(col("translation"), col("stop_name")).as("stop_name_translated"))
+  }
+
+  /** L4 --import-metadata analog: one-row metadata table. */
+  def importMetadata(spark: SparkSession, feedDigest: String,
+      importedAt: Long, schema: String): DataFrame = {
+    import spark.implicits._
+    Seq(("graft", feedDigest, importedAt, schema))
+      .toDF("importer", "feed_digest", "imported_at", "schema_name")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.functions
+
+import graft.SparkSpec
+import Multimodal._
+
+/** Multimodal binary plumbing: schema/Encoder/partition shape is real;
+  * only the codec is a deterministic stub (builder brief). */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaDs(rows: (Long, Array[Byte])*) =
+    rows.toSeq.map { case (id, b) => Media(id, b) }.toDS().repartition(2)
+
+  test("decodeMeta parses the stub header distributed, flags bad blobs") {
+    val good = encodeFake("img", 640, 480, 1, Array.fill[Byte](100)(7))
+    val bad = Array[Byte](1, 2, 3)
+    val metas = decodeMeta(mediaDs(1L -> good, 2L -> bad))
+      .collect().sortBy(_.mediaId)
+    assert(metas(0) == MediaMeta(1L, "img", 640, 480, 1, 100, valid = true))
+    assert(!metas(1).valid && metas(1).format == "unknown")
+  }
+
+  test("featurize: L1-normalized 16-bin byte histogram per blob") {
+    val payload = Array.tabulate[Byte](160)(i => (i % 256).toByte)
+    val blob = encodeFake("img", 1, 1, 1, payload)
+    val feats = featurize(mediaDs(5L -> blob)).collect()
+    assert(feats.length == 1)
+    val f = feats.head.feature
+    assert(f.length == 16)
+    assert(math.abs(f.sum - 1.0f) < 1e-5, "L1 normalized")
+    // bytes 0..159 → high nibbles 0..9, 16 bytes each → 16/160 = 0.1
+    assert(f.take(10).forall(v => math.abs(v - 0.1f) < 1e-5))
+  }
+
+  test("frameSample slices every Nth frame of a fake video") {
+    val payload = Array.tabulate[Byte](100)(_.toByte)
+    val vid = encodeFake("vid", 8, 8, 10, payload)
+    val frames = frameSample(mediaDs(9L -> vid), everyN = 3).collect()
+      .sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 3, 6, 9))
+    assert(frames.head.bytes.toSeq == payload.slice(0, 10).toSeq)
+  }
+}

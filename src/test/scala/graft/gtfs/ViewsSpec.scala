@@ -1,0 +1,96 @@
+package graft.gtfs
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.pipeline.Import
+import org.apache.spark.sql.SparkSession
+
+/** Derived views V1-V8 against the fixture feed (SURVEY.md §2.7). */
+class ViewsSpec extends SparkSpec {
+
+  implicit lazy val s: SparkSession = spark
+
+  private lazy val feed: Clean.Feed = {
+    val dir = TestFeed.writeTo(Files.createTempDirectory("feedv"))
+    Import.readFeed(spark, dir)
+  }
+
+  test("V1 service_days: weekly mask + added − removed") {
+    val days = Views.serviceDays(feed).where("service_id = 'svc1'")
+      .collect().map(_.getDate(1).toString).toSet
+    // Mon-Fri 2024-03-04..03-15 = 10 weekdays, +03-09 (Sat), −03-11 (Mon)
+    assert(days.size == 10)
+    assert(days.contains("2024-03-09"), "exception_type=1 added")
+    assert(!days.contains("2024-03-11"), "exception_type=2 removed")
+    assert(!days.contains("2024-03-10"), "Sunday masked out")
+    assert(days.contains("2024-03-04") && days.contains("2024-03-15"))
+  }
+
+  test("V3 frequency expansion is half-open [start, end)") {
+    import spark.implicits._
+    val ad = Views.arrivalsDepartures(feed, "UTC")
+    // t4: headway 1200 in [07:00, 08:00) local → replicas 07:00, 07:20,
+    // 07:40 (NOT 08:00); agency tz is Europe/Berlin (CET = UTC+1 in
+    // early March) so UTC shows 06:00/06:20/06:40
+    val deps = ad.where("trip_id = 't4' and stop_sequence = 1 and svc_date = date'2024-03-04'")
+      .select(date_format_utc("t_departure")).as[String].collect().sorted.toSeq
+    assert(deps == Seq("2024-03-04 06:00:00", "2024-03-04 06:20:00",
+      "2024-03-04 06:40:00"))
+  }
+
+  private def date_format_utc(c: String) =
+    org.apache.spark.sql.functions.date_format(
+      org.apache.spark.sql.functions.col(c), "yyyy-MM-dd HH:mm:ss")
+
+  test("V2 arrivals_departures: >24:00 time lands on the next calendar day") {
+    import spark.implicits._
+    val ad = Views.arrivalsDepartures(feed, "UTC")
+    val arr = ad.where("trip_id = 't3' and stop_sequence = 1 and svc_date = date'2024-03-04'")
+      .select(date_format_utc("t_arrival")).as[String].head()
+    // 25:10 on service day 03-04 = 01:10 on 03-05 (in the fixture the
+    // agency tz is Europe/Berlin; with feed tz this shifts by -1h)
+    assert(arr == "2024-03-05 00:10:00", // 01:10 Berlin = 00:10 UTC
+      s"got $arr")
+  }
+
+  test("V4 connections: consecutive stop pairs per trip") {
+    import spark.implicits._
+    val conns = Views.connections(feed, "UTC")
+      .where("trip_id = 't1' and svc_date = date'2024-03-04'")
+      .select("from_stop_id", "to_stop_id").as[(String, String)].collect().toSet
+    assert(conns == Set(("s1", "s2"), ("s2", "s3")))
+  }
+
+  test("V5 shapes_aggregated produces ordered WKT linestrings") {
+    import spark.implicits._
+    val wkt = Views.shapesAggregated(feed).where("shape_id = 'sh1'")
+      .select("wkt").as[String].head()
+    assert(wkt == "LINESTRING(13.3 52.5,13.35 52.5,13.4 52.5,13.45 52.5)")
+  }
+
+  test("V6 stats count trips and stop events per route and day") {
+    import spark.implicits._
+    val row = Views.statsByRouteDate(feed, "UTC")
+      .where("svc_date = date'2024-03-04'")
+      .select("n_stop_events", "n_trips").as[(Long, Long)].collect()
+    assert(row.nonEmpty)
+    assert(row.map(_._1).sum > 0)
+  }
+
+  test("V7 active trips by hour covers the service hours") {
+    val hours = Views.activeTripsByHour(feed, "UTC")
+    assert(hours.count() > 0)
+    import spark.implicits._
+    val total = hours.agg(org.apache.spark.sql.functions.sum("n_active_trips"))
+      .as[Long].head()
+    assert(total > 0)
+  }
+
+  test("V8 translations join with lower-cased language codes") {
+    import spark.implicits._
+    val t = Views.translatedStopNames(feed)
+      .where("stop_id = 's2' and language = 'de'")
+      .select("stop_name_translated").as[String].collect()
+    assert(t.toSeq == Seq("Alexanderplatz Bhf"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path}
+import graft.SparkSpec
+import graft.gtfs.TestFeed
+import graft.meta.MetaStore
+
+/** SURVEY.md §5.3 pipeline integration tests: import twice → second run
+  * skips (P5); changed feed → new import; retention drops the oldest
+  * (T4); lock NOWAIT (T1); abort leaves a reimportable state (T3/T6);
+  * dangling-pointer reconciliation (P3). */
+class ImportPipelineSpec extends SparkSpec {
+
+  private def mkCfg(root: Path, feedDir: Path, tag: String): Import.Config =
+    Import.Config(
+      feedSource = feedDir,
+      storeRoot = root,
+      dbPrefix = "gtfs_",
+      tmpDir = root.resolve(s"tmp-$tag"),
+      dsnFilePath = Some(root.resolve("dsn.txt")))
+
+  test("import → skip-if-unchanged → changed feed → retention of newest 2") {
+    val root = Files.createTempDirectory("store")
+    val feed1 = TestFeed.writeTo(Files.createTempDirectory("f1"))
+
+    // fixed clock so db names are deterministic but distinct
+    var clock = 1700000000L
+    def cfg(dir: Path, tag: String) =
+      mkCfg(root, dir, tag).copy(now = () => { clock += 10; clock })
+
+    val r1 = Import.importGtfsAtomically(spark, cfg(feed1, "a"))
+    assert(!r1.importSkipped && r1.newImport.isDefined)
+    val store = MetaStore(root.toString)
+    assert(store.listImports("gtfs_").size == 1)
+    assert(Files.exists(store.databasePath(r1.newImport.get.dbName).resolve("stops")))
+    // DSN file points at the new db (K4)
+    assert(Files.readString(root.resolve("dsn.txt")).contains(r1.newImport.get.dbName))
+
+    // same feed again → P5 skip, no new db
+    val r2 = Import.importGtfsAtomically(spark, cfg(feed1, "b"))
+    assert(r2.importSkipped && r2.newImport.isEmpty)
+    assert(store.listImports("gtfs_").size == 1)
+
+    // changed feed → new import recorded
+    val feed2 = TestFeed.writeTo(Files.createTempDirectory("f2"),
+      _.updated("feed_info.txt",
+        "feed_publisher_name,feed_publisher_url,feed_lang\nMetro2,https://m2,EN\n"))
+    val r3 = Import.importGtfsAtomically(spark, cfg(feed2, "c"))
+    assert(!r3.importSkipped)
+    assert(store.listImports("gtfs_").size == 2)
+
+    // third distinct feed: retention runs at the START of a run
+    // (import.js:160-198), so immediately after an import up to 3 DBs
+    // exist (the new one + the 2 retained at run start)
+    val feed3 = TestFeed.writeTo(Files.createTempDirectory("f3"),
+      _.updated("feed_info.txt",
+        "feed_publisher_name,feed_publisher_url,feed_lang\nMetro3,https://m3,FR\n"))
+    val r4 = Import.importGtfsAtomically(spark, cfg(feed3, "d"))
+    assert(!r4.importSkipped)
+    assert(store.listImports("gtfs_").size == 3)
+
+    // fourth distinct feed → the run-start retention pass now drops the
+    // oldest (r1) before importing
+    val feed4 = TestFeed.writeTo(Files.createTempDirectory("f4"),
+      _.updated("feed_info.txt",
+        "feed_publisher_name,feed_publisher_url,feed_lang\nMetro4,https://m4,IT\n"))
+    val r5 = Import.importGtfsAtomically(spark, cfg(feed4, "e"))
+    assert(!r5.importSkipped)
+    val after = store.listImports("gtfs_")
+    assert(after.size == 3, s"newest-2 retained + new import, got ${after.size}")
+    assert(!after.map(_.dbName).contains(r1.newImport.get.dbName),
+      "oldest import dropped")
+    assert(store.listDatabases("gtfs_").size == 3)
+    // consumer path resolves the newest import (T5 swap semantics)
+    assert(Import.openLatestImport(spark, root, "gtfs_")
+      .contains(r5.newImport.get.dbName))
+  }
+
+  test("T1: second importer fails fast while the lock is held (NOWAIT)") {
+    val root = Files.createTempDirectory("store-lock")
+    val store = MetaStore(root.toString)
+    store.acquireLockNowait()
+    try {
+      val feed = TestFeed.writeTo(Files.createTempDirectory("fl"))
+      intercept[IllegalStateException] {
+        Import.importGtfsAtomically(spark, mkCfg(root, feed, "x"))
+      }
+    } finally store.releaseLock()
+  }
+
+  test("T3/T6: aborted import leaves orphan dir; next run reaps and succeeds") {
+    val root = Files.createTempDirectory("store-abort")
+    val store = MetaStore(root.toString)
+    // simulate a crashed import: orphan db dir, no meta row, stale lock
+    // already released (process died after releasing? no — crashed hard:
+    // lock file still present must NOT survive a real crash; the
+    // reference's lock dies with the PG session. Our file lock maps to
+    // "operator removes stale lock" — simulate post-crash state.)
+    store.createDatabase("gtfs_1600000000_dead00")
+    val feed = TestFeed.writeTo(Files.createTempDirectory("fa"))
+    val r = Import.importGtfsAtomically(spark,
+      mkCfg(root, feed, "y").copy(now = () => 1700000100L))
+    assert(!r.importSkipped)
+    assert(r.deletedDatabases.contains("gtfs_1600000000_dead00"),
+      "orphan from aborted import reaped by retention pass")
+    assert(store.listImports("gtfs_").size == 1)
+  }
+
+  test("P3: dangling meta rows (db dir gone) are reconciled away") {
+    val root = Files.createTempDirectory("store-dangling")
+    val store = MetaStore(root.toString)
+    store.transact { _ =>
+      (Vector(graft.meta.SuccessfulImport("gtfs_1500000000_gone00", 1500000000L, "gone00")), ())
+    }
+    val feed = TestFeed.writeTo(Files.createTempDirectory("fd"))
+    val r = Import.importGtfsAtomically(spark,
+      mkCfg(root, feed, "z").copy(now = () => 1700000200L))
+    assert(!r.importSkipped)
+    val after = store.listImports("gtfs_").map(_.dbName)
+    assert(!after.contains("gtfs_1500000000_gone00"))
+    assert(after.size == 1)
+  }
+
+  test("postprocessing scripts change the composite digest → re-import") {
+    val root = Files.createTempDirectory("store-pp")
+    val feed = TestFeed.writeTo(Files.createTempDirectory("fp"))
+    val pp = Files.createTempDirectory("pp-scripts")
+    var clock = 1700000300L
+    def cfg(ppDir: Option[Path], tag: String) =
+      mkCfg(root, feed, tag).copy(postprocessingDir = ppDir,
+        now = () => { clock += 10; clock })
+    val r1 = Import.importGtfsAtomically(spark, cfg(None, "a"))
+    assert(!r1.importSkipped)
+    // same feed, but now a postprocessing script exists → digest differs
+    Files.writeString(pp.resolve("01-x.sql"), "SELECT count(*) FROM stops")
+    val r2 = Import.importGtfsAtomically(spark, cfg(Some(pp), "b"))
+    assert(!r2.importSkipped, "changed scripts must force reimport (H3)")
+    // unchanged scripts → skip
+    val r3 = Import.importGtfsAtomically(spark, cfg(Some(pp), "c"))
+    assert(r3.importSkipped)
+  }
+}

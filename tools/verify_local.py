@@ -42,6 +42,14 @@ for name, sql in sorted(oracle.items()):
         continue
     g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
     w = want[wc].sort_values(by=wc, kind="mergesort").reset_index(drop=True)
+    # align dtype drift (e.g. DuckDB HUGEINT -> float64 vs Spark int64)
+    # before string-compare, so only real value differences fail
+    for c in gc:
+        import pandas.api.types as pt
+        if pt.is_numeric_dtype(g[c]) and pt.is_numeric_dtype(w[c]) \
+                and g[c].dtype != w[c].dtype:
+            g[c] = g[c].astype("float64")
+            w[c] = w[c].astype("float64")
     g = g.astype(str)
     w = w.astype(str)
     neq = (g != w)
@@ -59,6 +67,8 @@ for name, n in passes:
     print(f"PASS {name} ({n} rows)")
 for name, msg in fails:
     print(f"FAIL {name}: {msg}")
+rows_only = [os.path.basename(d) for d in glob.glob(out_dir + "/*")
+             if os.path.isdir(d) and os.path.basename(d) not in oracle]
 print(f"\n{len(passes)} pass / {len(fails)} fail "
-      f"(+{len([d for d in glob.glob(out_dir + '/*') if os.path.isdir(d)]) - len(oracle)} rows-only queries not checked)")
+      f"(+{len(rows_only)} rows-only queries not checked)")
 sys.exit(1 if fails else 0)
