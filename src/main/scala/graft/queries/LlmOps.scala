@@ -175,7 +175,7 @@ object LlmOps {
       doc = "blocked candidate pairs + exact 3-shingle Jaccard",
       oracle = """
         |WITH docs AS (
-        |  SELECT doc_id, lang, n_chars // 50 AS lbucket,
+        |  SELECT doc_id, lang, n_chars // 25 AS lbucket,
         |         string_split(text, ' ') AS toks
         |  FROM documents
         |), sh AS (
@@ -196,7 +196,7 @@ object LlmOps {
         |ORDER BY doc_a, doc_b
         |""") { (s, d) =>
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), expr("n_chars div 50").as("lbucket"),
+        .select(col("doc_id"), col("lang"), expr("n_chars div 25").as("lbucket"),
           split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
         .select(col("doc_id"), col("lang"), col("lbucket"),
@@ -220,27 +220,34 @@ object LlmOps {
     "llm_cosine_neardup" -> QueryDef(
       doc = "cell-bucketed embedding-cosine near-duplicate pairs",
       oracle = s"""
-        |WITH v AS (SELECT vec_id, label, embedding AS e FROM embeddings)
+        |WITH v AS (
+        |  SELECT vec_id, label, embedding AS e,
+        |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        |  FROM embeddings
+        |)
         |SELECT vec_a, vec_b, cos_milli FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |         CAST(floor(1000.0 * (${dotSql("a.e", "b.e")})
-        |              / (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})))
-        |              AS BIGINT) AS cos_milli
+        |              / (a.nrm * b.nrm)) AS BIGINT) AS cos_milli
         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |)
         |WHERE cos_milli >= 280
         |ORDER BY vec_a, vec_b
         |""") { (s, d) =>
+      // norms precomputed once per vector (N rows), not once per pair
+      // (N²/cell rows) — 3× less dot-product work in the pair stage
       val v = Tables.embeddings(s, d)
-      val a = v.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = v.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        .select(col("label"), col("vec_id"), col("embedding"),
+          sqrt(dotScaled(col("embedding"), col("embedding")).cast("double")).as("nrm"))
+      val a = v.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = v.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, Seq("label"))
         .where(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
           floor(lit(1000.0) * dotScaled(col("ea"), col("eb")) /
-            (sqrt(dotScaled(col("ea"), col("ea")).cast("double")) *
-              sqrt(dotScaled(col("eb"), col("eb")).cast("double"))))
-            .cast("long").as("cos_milli"))
+            (col("na") * col("nb"))).cast("long").as("cos_milli"))
         .where(col("cos_milli") >= 280)
         .orderBy("vec_a", "vec_b")
     },
