@@ -17,6 +17,7 @@ object SparkEntry {
     q.Views.defs,
     q.Clean.defs,
     q.LlmOps.defs,
+    q.GeoOps.defs,
   )
 
   private lazy val defs: Map[String, QueryDef] = {

@@ -19,21 +19,26 @@ import graft.Tables
   *    the coarse-quantizer cell; the only cross join is against a
   *    broadcast of ≤20 query vectors (bounded, not data-scale).
   *  - hashing is sha2 (codegen'd Catalyst expression), no UDFs;
-  *  - dot products are exact scaled-integer arithmetic via
-  *    zip_with+aggregate — order-independent, engine-portable, and
-  *    whole-stage-codegen friendly;
+  *  - dot products are exact scaled-integer arithmetic via the native
+  *    codegen'd `dot_scaled` expression — order-independent,
+  *    engine-portable, one fused loop inside WholeStageCodegen;
   *  - per-doc state is bounded (shingle arrays ~doc length; band keys 2
   *    hashes) — nothing collects a data-scale group.
   */
 object LlmOps {
 
-  /** Scaled-int fixed-point: floor(x*1e6 + 0.5) as long — deterministic
-    * in both engines (no round-half tie ambiguity). */
-  private def fx(c: Column): Column = floor(c.cast("double") * 1000000 + 0.5).cast("long")
-
-  /** Exact scaled-integer dot product of two float-array columns. */
-  private def dotScaled(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => fx(x) * fx(y)), lit(0L), (acc, v) => acc + v)
+  /** Exact scaled-integer dot product of two float-array columns:
+    * Σ floor(a[i]*1e6+0.5)*floor(b[i]*1e6+0.5) — deterministic in both
+    * engines (no round-half ties). Uses the native codegen'd
+    * [[graft.functions.DotScaledExpr]] (one fused loop, no per-pair
+    * allocations); the equivalent `aggregate(zip_with(...))`
+    * formulation is a higher-order function that falls back to
+    * interpreted lambdas and dominated BENCH on the pair stages. The
+    * session registration is idempotent. */
+  private def dotScaled(s: org.apache.spark.sql.SparkSession, a: String, b: String): Column = {
+    graft.functions.DotScaled.register(s)
+    expr(s"dot_scaled($a, $b)")
+  }
 
   private val DOT =
     """list_sum([CAST(floor(CAST(%s[i] AS DOUBLE)*1000000 + 0.5) AS BIGINT)
@@ -238,7 +243,7 @@ object LlmOps {
       // (N²/cell rows) — 3× less dot-product work in the pair stage
       val v = Tables.embeddings(s, d)
         .select(col("label"), col("vec_id"), col("embedding"),
-          sqrt(dotScaled(col("embedding"), col("embedding")).cast("double")).as("nrm"))
+          sqrt(dotScaled(s, "embedding", "embedding").cast("double")).as("nrm"))
       val a = v.select(col("label"), col("vec_id").as("vec_a"),
         col("embedding").as("ea"), col("nrm").as("na"))
       val b = v.select(col("label"), col("vec_id").as("vec_b"),
@@ -246,7 +251,7 @@ object LlmOps {
       a.join(b, Seq("label"))
         .where(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          floor(lit(1000.0) * dotScaled(col("ea"), col("eb")) /
+          floor(lit(1000.0) * dotScaled(s, "ea", "eb") /
             (col("na") * col("nb"))).cast("long").as("cos_milli"))
         .where(col("cos_milli") >= 280)
         .orderBy("vec_a", "vec_b")
@@ -278,7 +283,7 @@ object LlmOps {
       val w = Window.partitionBy("qid").orderBy(desc("dot_scaled"), asc("cid"))
       c.crossJoin(broadcast(q))
         .select(col("qid"), col("cid"),
-          dotScaled(col("qe"), col("ce")).as("dot_scaled"))
+          dotScaled(s, "qe", "ce").as("dot_scaled"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 10)
         .orderBy("qid", "rank")
@@ -311,7 +316,7 @@ object LlmOps {
       val w = Window.partitionBy("qid").orderBy(desc("dot_scaled"), asc("cid"))
       q.join(c, Seq("label"))
         .select(col("qid"), col("cid"),
-          dotScaled(col("qe"), col("ce")).as("dot_scaled"))
+          dotScaled(s, "qe", "ce").as("dot_scaled"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
         .orderBy("qid", "rank")

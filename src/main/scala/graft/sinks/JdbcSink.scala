@@ -1,0 +1,61 @@
+package graft.sinks
+
+import java.sql.DriverManager
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import scala.util.Using
+
+/** K1: bulk load into a fresh relational database over JDBC — the
+  * Spark-native `gtfs-to-sql | … | psql` stage
+  * (/root/reference/import.sh:124-132, SURVEY.md §2.2 K1).
+  *
+  * The reference's `zstd | sponge | zstd -d` barrier fully materializes
+  * the SQL stream before psql begins, keeping the DB transaction window
+  * short. The analog here: entities are already materialized (parquet
+  * staging in the import dir) before `loadFeed` opens any JDBC
+  * connection, so load time is pure insert throughput.
+  *
+  * Scale notes: `df.write.jdbc` runs one connection per partition with
+  * `batchsize` batched inserts — at cluster scale, repartition to the
+  * DB's ingest parallelism (not the shuffle width) before loading; a
+  * PostgreSQL target would use `COPY` via a foreachPartition CopyManager
+  * for another ~5×, which slots behind this same interface. */
+object JdbcSink {
+
+  final case class JdbcTarget(url: String, user: String = "", password: String = "",
+      driver: Option[String] = None, batchSize: Int = 10000,
+      loadParallelism: Int = 8)
+
+  private def props(t: JdbcTarget): Properties = {
+    val p = new Properties()
+    if (t.user.nonEmpty) p.setProperty("user", t.user)
+    if (t.password.nonEmpty) p.setProperty("password", t.password)
+    t.driver.foreach(p.setProperty("driver", _))
+    p.setProperty("batchsize", t.batchSize.toString)
+    p
+  }
+
+  /** Write one entity DataFrame to `<schema>.<table>` (schema optional),
+    * overwriting — each import targets a FRESH database, so overwrite
+    * here is creation, never an in-place mutation of published data. */
+  def writeTable(df: DataFrame, target: JdbcTarget, table: String): Unit =
+    df.coalesce(target.loadParallelism)
+      .write.mode(SaveMode.Overwrite)
+      .jdbc(target.url, table, props(target))
+
+  /** Load a whole feed (entity → DataFrame) into the target DB. */
+  def loadFeed(feed: Map[String, DataFrame], target: JdbcTarget): Unit =
+    feed.foreach { case (entity, df) => writeTable(df, target, entity) }
+
+  def readTable(spark: SparkSession, target: JdbcTarget, table: String): DataFrame =
+    spark.read.jdbc(target.url, table, props(target))
+
+  /** K5 DDL on a separate connection (CREATE/DROP DATABASE cannot run
+    * inside the bookkeeping transaction — /root/reference/import.js:115-118).
+    * For embedded engines (Derby) "database" creation is connection-url
+    * driven; for PostgreSQL this executes CREATE/DROP DATABASE. */
+  def executeDdl(url: String, sql: String): Unit =
+    Using.resource(DriverManager.getConnection(url)) { conn =>
+      Using.resource(conn.createStatement())(_.execute(sql))
+    }
+}

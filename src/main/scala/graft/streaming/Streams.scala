@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2.10).
+  *
+  * The reference itself is a periodic batch job ("periodically changing
+  * GTFS feed", /root/reference/README.md:3) — its streaming analog is a
+  * feed-drop directory consumed as `Trigger.AvailableNow` file-source
+  * batches (each batch = one full snapshot import, no late data
+  * concept). Beyond that parity point, this module provides the
+  * standard streaming operators a consumer service needs over live
+  * event data: watermarked windowed aggregation and custom
+  * sessionization state via flatMapGroupsWithState.
+  *
+  * Scale: all state is keyed (user/window), bounded by the watermark;
+  * file-source batches use the same schema'd readers as batch (S3).
+  */
+object Streams {
+
+  /** Feed-drop stream: CSV snapshots of one GTFS entity landing in a
+    * directory, read incrementally with the declared schema. Pair with
+    * `Trigger.AvailableNow` so each run drains what's present and stops
+    * — exactly the reference's re-import cadence. */
+  def entityDropStream(spark: SparkSession, dropDir: String, entity: String): DataFrame =
+    spark.readStream
+      .option("header", "true")
+      .schema(graft.gtfs.Schemas.all(entity))
+      .csv(dropDir)
+
+  /** Watermarked tumbling-window event counts: the streaming analog of
+    * V6's per-hour stats. Late rows beyond the watermark are dropped —
+    * state is bounded to (watermark horizon / window) entries per key. */
+  def eventCountsByWindow(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("value_sum"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
+  final case class Event(userId: Long, ts: java.sql.Timestamp, eventType: String)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Int)
+  final case class Session(userId: Long, startEpoch: Long, endEpoch: Long,
+      nEvents: Int, durationSecs: Long)
+
+  /** Custom session windows via flatMapGroupsWithState: a session
+    * closes after `gapSecs` of inactivity — in-batch when a later event
+    * shows the gap, or via the state timeout for idle keys (pass
+    * `GroupStateTimeout.NoTimeout` for fully deterministic tests).
+    * State per user is one SessionState — O(active users), not O(events). */
+  def sessionize(events: Dataset[Event], gapSecs: Long = 1800,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val useTimers = timeout != GroupStateTimeout.NoTimeout
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.lastSeen, s.nEvents,
+              s.lastSeen - s.start))
+          } else {
+            val sorted = rows.map(_.ts.getTime / 1000).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapSecs =>
+                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.lastSeen, s.nEvents,
+                    s.lastSeen - s.start)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimers) state.setTimeoutDuration(gapSecs * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Drain a feed-drop directory once (AvailableNow) into a parquet
+    * target — the streaming flavor of the S2→S3→K1 path. Returns after
+    * the drain completes. */
+  def drainDropToParquet(spark: SparkSession, dropDir: String, entity: String,
+      outDir: String, checkpointDir: String): Unit = {
+    val q = entityDropStream(spark, dropDir, entity)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
