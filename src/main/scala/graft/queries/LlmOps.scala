@@ -129,16 +129,20 @@ object LlmOps {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
       val shing = docs.select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
-      val mh = shing
-        .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(7))).as("seed"))
-        .groupBy("doc_id", "seed")
-        .agg(min(substring(sha2(
-          concat(col("seed").cast("string"), lit("|"), col("sh")), 256), 1, 16)).as("h"))
-      val bands = mh
-        .groupBy(col("doc_id"), expr("seed div 2").as("band_id"))
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("seed"), col("h")))),
-          x => x.getField("h")), "").as("band_key"))
+      // all 8 minhashes in ONE aggregation over the shingle rows (8 agg
+      // columns with map-side partial min) instead of exploding ×8 —
+      // the seed-explode formulation shuffled 8× the rows for the same
+      // result and was 6× slower than the DuckDB baseline
+      val mhAggs = (0 until 8).map(seed =>
+        min(substring(sha2(
+          concat(lit(seed.toString), lit("|"), col("sh")), 256), 1, 16)).as(s"h$seed"))
+      val mh8 = shing.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      val bands = mh8.select(col("doc_id"),
+        explode(array((0 until 4).map(b => struct(
+          lit(b).as("band_id"),
+          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("band_key"))): _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band_id").as("band_id"),
+          col("bs.band_key").as("band_key"))
       val a = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
       val b = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
       a.join(b, Seq("band_id", "band_key"))
