@@ -45,6 +45,35 @@ object Geo {
       .limit(k)
   }
 
+  /** L3 (--stops-location-index) materialized: persist stops
+    * partitioned by grid cell, range-clustered and sorted within
+    * partitions. KNN readers then touch only the query's cell
+    * neighborhood — directory-level partition pruning standing in for
+    * the GiST index (/root/reference/import.sh:126). */
+  def writeStopsClustered(stops: DataFrame, path: String): Unit =
+    stops
+      .withColumn("cell", gridCell(col("stop_lat"), col("stop_lon")))
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions("cell", "stop_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** KNN over the clustered layout: read only the 3×3 cell
+    * neighborhood of the query point (partition pruning — the scan's
+    * PartitionFilters), then exact haversine re-rank. */
+  def stopsByDistanceClustered(spark: org.apache.spark.sql.SparkSession,
+      path: String, lat: Double, lon: Double, k: Int): DataFrame = {
+    val la = math.floor(lat * 10).toLong
+    val lo = math.floor(lon * 10).toLong
+    val cells = for (dLa <- -1L to 1L; dLo <- -1L to 1L)
+      yield s"${la + dLa}:${lo + dLo}"
+    spark.read.parquet(path)
+      .where(col("cell").isin(cells: _*))
+      .withColumn("distance_m",
+        haversineMeters(lit(lat), lit(lon), col("stop_lat"), col("stop_lon")))
+      .orderBy(asc("distance_m"), asc("stop_id"))
+      .limit(k)
+  }
+
   final case class Pt(seq: Int, lat: Double, lon: Double)
 
   /** Douglas-Peucker simplification of one polyline, preserving shape

@@ -201,6 +201,23 @@ object Views {
         coalesce(col("translation"), col("stop_name")).as("stop_name_translated"))
   }
 
+  /** Materialize V2 partitioned by service date: consumer queries are
+    * almost always date-ranged (departure boards), so the layout makes
+    * them partition-pruned directory scans — the "recommended" strategy
+    * of SURVEY.md §4. */
+  def materializeArrivalsDepartures(feed: Feed, outPath: String,
+      defaultTz: String = "UTC"): Unit =
+    arrivalsDepartures(feed, defaultTz)
+      .repartition(col("svc_date"))
+      .write.mode("overwrite").partitionBy("svc_date").parquet(outPath)
+
+  /** Date-ranged read over the materialized V2 — the partition filter
+    * prunes at the directory level (PartitionFilters in the scan). */
+  def arrivalsInRange(spark: SparkSession, path: String,
+      from: String, to: String): DataFrame =
+    spark.read.parquet(path)
+      .where(col("svc_date") >= lit(from) && col("svc_date") <= lit(to))
+
   /** L4 --import-metadata analog: one-row metadata table. */
   def importMetadata(spark: SparkSession, feedDigest: String,
       importedAt: Long, schema: String): DataFrame = {

@@ -28,6 +28,8 @@ object Import {
       storeRoot: Path,                        // MetaStore root
       dbPrefix: String,                       // GTFS_IMPORTER_DB_PREFIX + "_"
       tmpDir: Path,
+      feedUrl: Option[String] = None,         // S1: mirror-download first if set
+      userAgent: String = "",                 // mandatory when feedUrl is set
       postprocessingDir: Option[Path] = None, // hashed into the digest (H3)
       preprocess: Option[Clean.Feed => Clean.Feed] = None, // C19 hook
       postprocessSql: Seq[String] = Seq.empty, // run via spark.sql on entity views
@@ -52,11 +54,17 @@ object Import {
     val store = MetaStore(cfg.storeRoot.toString)
     val t0 = System.nanoTime()
 
-    // S1: "download" — stage the feed into the tmp dir (driver-side; the
-    // reference shells out to curl-mirror, download.sh:25-29).
+    // S1: download/stage the feed into the tmp dir (driver-side; the
+    // reference shells out to curl-mirror, download.sh:25-29). With a
+    // feedUrl the mirror fetch (conditional, UA-mandatory) runs first.
     Files.createDirectories(cfg.tmpDir)
+    val source = cfg.feedUrl match {
+      case Some(url) =>
+        Download.download(url, cfg.tmpDir.resolve("gtfs.zip"), cfg.userAgent).path
+      case None => cfg.feedSource
+    }
     val staged = cfg.tmpDir.resolve("gtfs-feed")
-    stageFeed(cfg.feedSource, staged)
+    stageFeed(source, staged)
     val downloadMs = (System.nanoTime() - t0) / 1000000
 
     store.acquireLockNowait() // T1 (import.js:128-132)

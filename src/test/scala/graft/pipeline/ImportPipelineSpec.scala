@@ -121,6 +121,37 @@ class ImportPipelineSpec extends SparkSpec {
     assert(after.size == 1)
   }
 
+  test("S1: import straight from a URL (mirror download wired in)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // serve the fixture feed as a zip over local HTTP
+    val feedDir = graft.gtfs.TestFeed.writeTo(Files.createTempDirectory("fz"))
+    val zipPath = Files.createTempDirectory("fzz").resolve("gtfs.zip")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
+    Files.list(feedDir).forEach { f =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(f.getFileName.toString))
+      zos.write(Files.readAllBytes(f)); zos.closeEntry()
+    }
+    zos.close()
+    val bytes = Files.readAllBytes(zipPath)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/gtfs.zip", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    })
+    server.start()
+    try {
+      val root = Files.createTempDirectory("store-url")
+      val cfg = mkCfg(root, feedDir, "u").copy(
+        feedUrl = Some(s"http://127.0.0.1:${server.getAddress.getPort}/gtfs.zip"),
+        userAgent = "graft-test/1.0", now = () => 1700000400L)
+      val r = Import.importGtfsAtomically(spark, cfg)
+      assert(!r.importSkipped && r.newImport.isDefined)
+      val store = MetaStore(root.toString)
+      assert(Files.exists(
+        store.databasePath(r.newImport.get.dbName).resolve("stop_times")))
+    } finally server.stop(0)
+  }
+
   test("postprocessing scripts change the composite digest → re-import") {
     val root = Files.createTempDirectory("store-pp")
     val feed = TestFeed.writeTo(Files.createTempDirectory("fp"))
