@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) approximate nearest neighbor over an embedding
+  * column — the scale path for similarity search (builder brief): a
+  * bounded coarse quantizer assigns every vector to a cell; queries
+  * probe only the `nprobe` nearest cells (equi join on cell, never a
+  * cross join against the corpus) and re-rank exactly inside them.
+  *
+  * Determinism: seeds are the k lowest-id vectors; the Lloyd refinement
+  * averages through DECIMAL(38,12) (order-independent exact sums), so
+  * the index is bit-identical across runs/cluster layouts.
+  *
+  * Scale: the centroid table is k rows (bounded, broadcast); the only
+  * corpus-wide operations are one posexplode + groupBy(cell, pos) at
+  * build time and the cell-equi-join at query time. Cell skew is
+  * handled by AQE (or [[Joins.saltedJoin]] for a pathological cell). */
+object Ivf {
+
+  /** Squared L2 distance between two double arrays (codegen-unfriendly
+    * HOF — build-time only, k·N pairs, never on the query hot path). */
+  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+
+  /** Assign each vector to its nearest centroid (broadcast, bounded k).
+    * Deterministic tie-break on cell id. */
+  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cell"))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2(col("embedding_d"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding_d"), col("cell"))
+  }
+
+  /** Build the index: (assignments(vec_id, cell), centroids(cell, centroid)).
+    * Seeds = k lowest-id vectors; `iterations` Lloyd refinements. */
+  def build(embeddings: DataFrame, k: Int, iterations: Int = 1)
+      : (DataFrame, DataFrame) = {
+    val vectors = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding_d"))
+    val seedIds = vectors.select("vec_id").orderBy("vec_id").limit(k)
+    var centroids = vectors.join(seedIds, Seq("vec_id"), "left_semi")
+      .withColumn("cell", row_number().over(Window.orderBy("vec_id")) - 1)
+      .select(col("cell"), col("embedding_d").as("centroid"))
+    var assigned = assign(vectors, centroids)
+    (1 to iterations).foreach { _ =>
+      // exact per-(cell, position) means via DECIMAL sums → deterministic
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding_d")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("v").cast("decimal(38,12)")) / count(lit(1)))
+          .cast("double").as("m"))
+      centroids = means
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+      assigned = assign(vectors, centroids)
+    }
+    (assigned.select("vec_id", "cell"), centroids)
+  }
+
+  /** Top-k by exact scaled-int dot product, probing the `nprobe`
+    * nearest cells per query. `corpus` must carry (vec_id, embedding);
+    * `assignments` comes from [[build]]. */
+  def search(spark: SparkSession, corpus: DataFrame, assignments: DataFrame,
+      centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    graft.functions.DotScaled.register(spark)
+    val qd = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qe"),
+      transform(col("embedding"), x => x.cast("double")).as("qe_d"))
+    // nearest nprobe cells per query — bounded broadcast of k centroids
+    val wCells = Window.partitionBy("qid").orderBy(asc("d2"), asc("cell"))
+    val probed = qd.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2(col("qe_d"), col("centroid")))
+      .withColumn("rn", row_number().over(wCells))
+      .where(col("rn") <= nprobe)
+      .select("qid", "qe", "cell")
+    // candidates via EQUI JOIN on cell, exact re-rank inside
+    val cands = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(assignments.withColumnRenamed("vec_id", "cid"), Seq("cid"))
+    val wRank = Window.partitionBy("qid").orderBy(desc("dot_scaled"), asc("cid"))
+    probed.join(cands, Seq("cell"))
+      .withColumn("dot_scaled", expr("dot_scaled(qe, ce)"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select("qid", "cid", "dot_scaled", "rank")
+  }
+}

@@ -235,6 +235,40 @@ object Import {
       df.write.mode("overwrite").parquet(dbPath.resolve(entity).toString)
     }
 
+  /** gtfsclean output parity: write the cleaned feed back as GTFS CSV
+    * files (`<entity>.txt`), one per entity — the `tidied.gtfs`
+    * directory the reference's cleaning stage produces
+    * (/root/reference/import.sh:105-110, $tidied_path lib.sh:14).
+    * Executors write the shards; the driver concatenates them into the
+    * single .txt the GTFS spec requires (header once). */
+  def writeFeedCsv(feed: Clean.Feed, dir: Path): Unit = {
+    Files.createDirectories(dir)
+    feed.foreach { case (entity, df) =>
+      val shardDir = dir.resolve(s".$entity.csv-shards")
+      df.write.mode("overwrite").option("header", "true")
+        .csv(shardDir.toString)
+      val target = dir.resolve(s"$entity.txt")
+      val shards = Using.resource(Files.list(shardDir)) {
+        _.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".csv")).sortBy(_.toString)
+      }
+      Using.resource(Files.newBufferedWriter(target)) { w =>
+        var wroteHeader = false
+        shards.foreach { shard =>
+          val lines = Files.readAllLines(shard)
+          if (!lines.isEmpty) {
+            val body = if (wroteHeader) lines.asScala.drop(1) else lines.asScala
+            body.foreach { l => w.write(l); w.newLine() }
+            wroteHeader = true
+          }
+        }
+        // empty result: still emit the header row from the schema
+        if (!wroteHeader) { w.write(df.columns.mkString(",")); w.newLine() }
+      }
+      deleteRecursively(shardDir)
+    }
+  }
+
   private def registerViews(spark: SparkSession, dbPath: Path): Unit =
     Using.resource(Files.list(dbPath)) {
       _.iterator().asScala.filter(Files.isDirectory(_)).foreach { p =>
