@@ -52,7 +52,9 @@ object Views {
   /** V3 helper: per-trip replication offsets. Frequency-based trips
     * (frequencies.txt) run every headway_secs within half-open
     * [start_time, end_time): shift = offset − first scheduled departure.
-    * Non-frequency trips get shift 0. */
+    * Non-frequency trips get shift 0. exact_times=1 and =0 both
+    * enumerate the same nominal departures (gtfs-via-postgres
+    * semantics); =0 merely marks them as approximate to consumers. */
   private def tripShifts(feed: Feed): DataFrame = {
     val trips = feed("trips")
     val base = trips.select(col("trip_id"), lit(0L).as("shift"))

@@ -51,6 +51,20 @@ object GeoOps {
         .limit(10)
     },
 
+    // IVF ANN with a COMPUTED coarse quantizer (graft.ops.Ivf): build
+    // the index (deterministic seeds + Lloyd step), probe 2 cells per
+    // query, exact re-rank. Rows-only (the quantizer is iterative —
+    // not SQL-expressible); recall vs brute force is asserted in
+    // IvfSpec.
+    "llm_ann_ivf_centroids" -> QueryDef.noOracle(
+      doc = "IVF ANN: computed centroids, nprobe equi-join, exact re-rank") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (assign, centroids) = graft.ops.Ivf.build(e, k = 8)
+      graft.ops.Ivf.search(s, e, assign, centroids,
+        e.where(col("vec_id") < 8), k = 10, nprobe = 2)
+        .orderBy("qid", "rank")
+    },
+
     // C7 --min-shapes distributed: Douglas-Peucker per shape via
     // flatMapGroups (bounded per-shape groups). Polylines synthesized
     // from lineitem; rows-only check (recursive DP is not
