@@ -131,11 +131,16 @@ object Views {
         stops.select(col("stop_id"), col("stop_name"), col("stop_lat"),
           col("stop_lon"), col("parent_station")),
         Seq("stop_id"), "left")
-      case None => events
+      case None => events.withColumn("stop_name", lit(null).cast("string"))
+        .withColumn("parent_station", lit(null).cast("string"))
     }
-    withStops.select("stop_id", "stop_name", "trip_id", "route_id",
-      "route_short_name", "route_type", "service_id", "svc_date",
-      "stop_sequence", "shift", "t_arrival", "t_departure")
+    withStops
+      // station-level key: a child stop rolls up to its parent station
+      // (gtfs-via-postgres exposes both levels for departure boards)
+      .withColumn("station_id", coalesce(col("parent_station"), col("stop_id")))
+      .select("stop_id", "stop_name", "station_id", "trip_id", "route_id",
+        "route_short_name", "route_type", "service_id", "svc_date",
+        "stop_sequence", "shift", "t_arrival", "t_departure")
   }
 
   /** V4: connections — consecutive stop_time pairs per trip as
@@ -177,6 +182,15 @@ object Views {
       .agg(count(lit(1)).as("n_stop_events"),
         countDistinct("trip_id").as("n_trips"),
         countDistinct("stop_id").as("n_stops"))
+
+  /** V6b: stats_by_agency_route_stop_hour — the finer granularity of
+    * the stats family: departures per (route, stop, local hour). */
+  def statsByRouteStopHour(feed: Feed, defaultTz: String = "UTC"): DataFrame =
+    arrivalsDepartures(feed, defaultTz)
+      .groupBy(col("route_id"), col("stop_id"),
+        hour(col("t_departure")).as("dep_hour"))
+      .agg(count(lit(1)).as("n_departures"),
+        countDistinct("trip_id").as("n_trips"))
 
   /** V7: stats_active_trips_by_hour — trips whose [first departure,
     * last arrival] span overlaps each hour bucket; bounded explode

@@ -261,6 +261,69 @@ object LlmOps {
         .orderBy("vec_a", "vec_b")
     },
 
+    // Random-hyperplane (SimHash-for-vectors) cosine LSH: the CELL-FREE
+    // near-dup scale path — no label/quantizer needed. 4 deterministic
+    // pseudo-random ±1 hyperplanes (sign bits from sha2 of the (plane,
+    // dim) pair) bucket the corpus into 16 balanced buckets; candidates
+    // join on the bucket (equi join), exact cosine re-ranks. Sign sums
+    // use exact scaled-int arithmetic so bucket assignment is
+    // order-independent and engine-identical.
+    "llm_cosine_lsh" -> QueryDef(
+      doc = "random-hyperplane LSH buckets + exact cosine re-rank",
+      oracle = {
+        val bits = (0 until 4).map { p =>
+          s"CASE WHEN sum(CASE WHEN substr(sha256('$p-' || CAST(i AS VARCHAR)), 1, 1) >= '8' " +
+            "THEN vi ELSE -vi END) > 0 THEN '1' ELSE '0' END"
+        }.mkString(" || ")
+        s"""
+        |WITH dims AS (
+        |  SELECT vec_id, i,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS vi
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |), bucketed AS (
+        |  SELECT vec_id, $bits AS bucket FROM dims GROUP BY vec_id
+        |), v AS (
+        |  SELECT e.vec_id, e.embedding AS emb, b.bucket,
+        |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+        |  FROM embeddings e JOIN bucketed b USING (vec_id)
+        |)
+        |SELECT vec_a, vec_b, cos_milli FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         CAST(floor(1000.0 * (${dotSql("a.emb", "b.emb")})
+        |              / (a.nrm * b.nrm)) AS BIGINT) AS cos_milli
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |)
+        |WHERE cos_milli >= 250
+        |ORDER BY vec_a, vec_b
+        |""" }) { (s, d) =>
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .select(col("vec_id"), (col("pos0") + 1).cast("string").as("i"),
+          floor(col("v").cast("double") * 1000000 + 0.5).cast("long").as("vi"))
+      val signAggs = (0 until 4).map { p =>
+        sum(when(substring(sha2(concat(lit(s"$p-"), col("i")), 256), 1, 1) >= "8",
+          col("vi")).otherwise(-col("vi"))).as(s"d$p")
+      }
+      val bucketed = dims.groupBy("vec_id").agg(signAggs.head, signAggs.tail: _*)
+        .select(col("vec_id"),
+          concat((0 until 4).map(p =>
+            when(col(s"d$p") > 0, "1").otherwise("0")): _*).as("bucket"))
+      val v = Tables.embeddings(s, d).join(bucketed, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("bucket"),
+          sqrt(dotScaled(s, "embedding", "embedding").cast("double")).as("nrm"))
+      val a = v.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = v.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket"))
+        .where(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          floor(lit(1000.0) * dotScaled(s, "ea", "eb") /
+            (col("na") * col("nb"))).cast("long").as("cos_milli"))
+        .where(col("cos_milli") >= 250)
+        .orderBy("vec_a", "vec_b")
+    },
+
     // Brute-force cosine/dot top-k: the ANN correctness baseline. The
     // only cross join in the library — against a bounded broadcast query
     // set (4 vectors), i.e. a BroadcastNestedLoopJoin over one scan.

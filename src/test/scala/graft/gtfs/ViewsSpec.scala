@@ -53,6 +53,27 @@ class ViewsSpec extends SparkSpec {
       s"got $arr")
   }
 
+  test("V2 station rollup: child stops resolve to their parent station") {
+    import spark.implicits._
+    val ad = Views.arrivalsDepartures(feed, "UTC")
+    val s1 = ad.where("stop_id = 's1'").select("station_id").distinct()
+      .as[String].collect().toSeq
+    assert(s1 == Seq("st1"), "s1 is a child of station st1")
+    val s2 = ad.where("stop_id = 's2'").select("station_id").distinct()
+      .as[String].collect().toSeq
+    assert(s2 == Seq("s2"), "stand-alone stop is its own station")
+  }
+
+  test("V6b stats by route/stop/hour counts departures") {
+    import spark.implicits._
+    val st = Views.statsByRouteStopHour(feed, "UTC")
+      .where("stop_id = 's1'")
+    assert(st.count() > 0)
+    val total = st.agg(org.apache.spark.sql.functions.sum("n_departures"))
+      .as[Long].head()
+    assert(total > 0)
+  }
+
   test("V4 connections: consecutive stop pairs per trip") {
     import spark.implicits._
     val conns = Views.connections(feed, "UTC")
