@@ -434,7 +434,13 @@ object Clean {
             wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         // Fold runs of >= 3 equally-spaced trips (2+ equal gaps). A run's
         // rows carry the gap to their predecessor, so the run's first
-        // TRIP is the row immediately before the run's first gap row.
+        // TRIP is the row immediately before the run's first gap row —
+        // UNLESS that row is itself a gap row of a foldable run (two
+        // ADJACENT runs with different headways share their boundary
+        // trip; folding it into both would drop run B's exemplar as a
+        // member of run A, leaving a dangling frequencies.trip_id).
+        // Priority goes to the earlier run; the later run folds without
+        // its predecessor only if it still covers >= 3 trips.
         val runKey = Seq("route_id", "service_id", "rsig", "run_id")
         val foldable = withDelta.where(col("delta").isNotNull && col("delta") > 0)
           .groupBy(runKey.map(col): _*)
@@ -446,14 +452,21 @@ object Clean {
           .select(col("trip_id"), col("route_id"), col("service_id"),
             col("rsig"), col("run_id"), col("t0"))
         val predecessors = prevOfRun
+          // exclude predecessors whose OWN run is foldable (overlap case)
+          .join(foldable.select(runKey.map(col): _*), runKey, "left_anti")
           .join(foldable.select(col("route_id"), col("service_id"), col("rsig"),
             col("run_id").as("next_run")).distinct(),
             Seq("route_id", "service_id", "rsig", "next_run"))
           .where(col("run_id") =!= col("next_run"))
           .select(col("trip_id"), col("route_id"), col("service_id"),
             col("rsig"), col("next_run").as("run_id"), col("t0"))
-        val folded = members.unionByName(predecessors)
+        val folded0 = members.unionByName(predecessors)
         val wFold = Window.partitionBy("route_id", "service_id", "rsig", "run_id")
+        // folds shrunk below 3 trips by the exclusion stay scheduled
+        val folded = folded0
+          .withColumn("fold_size", count(lit(1)).over(wFold))
+          .where(col("fold_size") >= 3)
+          .drop("fold_size")
         val exemplars = folded
           .withColumn("keep_trip", first("trip_id").over(
             wFold.orderBy("t0", "trip_id")

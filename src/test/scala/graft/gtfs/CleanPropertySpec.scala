@@ -58,15 +58,22 @@ class CleanPropertySpec extends SparkSpec {
 
   test("C9 property: folded frequencies re-expand to the original departures") {
     val rnd = new scala.util.Random(13)
-    (1 to 5).foreach { case_i =>
+    (1 to 12).foreach { case_i =>
       // one route/service; a headway run of m trips plus noise trips
       val m = 3 + rnd.nextInt(4)
       val headway = 300 * (1 + rnd.nextInt(6))
       val base = 6 * 3600 + rnd.nextInt(3600)
       val runT0s = (0 until m).map(j => base + j * headway)
+      // an ADJACENT second run with a different headway, sharing the
+      // boundary trip pattern (the dangling-frequencies regression)
+      val h2 = 300 * (7 + rnd.nextInt(3))
+      val run2T0s =
+        if (rnd.nextBoolean())
+          (1 to 2 + rnd.nextInt(3)).map(j => runT0s.last + j * h2)
+        else Seq.empty
       val noiseT0s = (1 to rnd.nextInt(3)).map(_ => 15 * 3600 + rnd.nextInt(7200))
       def fmt(sec: Int) = f"${sec / 3600}%02d:${sec % 3600 / 60}%02d:${sec % 60}%02d"
-      val allT0s = runT0s ++ noiseT0s
+      val allT0s = (runT0s ++ run2T0s ++ noiseT0s).distinct
       val trips = allT0s.zipWithIndex.map { case (_, i) => (f"t$i%02d", "r1", "svc1") }
         .toDF("trip_id", "route_id", "service_id")
       val st = allT0s.zipWithIndex.flatMap { case (t0, i) =>
@@ -92,6 +99,12 @@ class CleanPropertySpec extends SparkSpec {
       assert(all == allT0s.toSet,
         s"case $case_i: departures changed (missing=${allT0s.toSet -- all}, " +
           s"extra=${all -- allT0s.toSet}, freq=$freqRows)")
+      // no dangling references: every frequencies.trip_id survives
+      val tripIds = folded("trips").select("trip_id").as[String].collect().toSet
+      val freqTrips = folded.get("frequencies")
+        .map(_.select("trip_id").as[String].collect().toSet).getOrElse(Set.empty)
+      assert(freqTrips.subsetOf(tripIds),
+        s"case $case_i: dangling frequencies trips ${freqTrips -- tripIds}")
     }
   }
 }
