@@ -54,8 +54,9 @@ final class MetaStore(root: Path) {
         val Array(n, ts, dg) = line.split("\t", 3)
         SuccessfulImport(n, ts.toLong, dg)
       }
-    // P2 prefix predicate + sort desc (index.js:183-198)
-    all.filter(_.dbName.startsWith(prefix)).sortBy(-_.importedAt)
+    // P2 prefix predicate + sort desc (index.js:183-198); dbName breaks
+    // imported_at ties so "latest" is deterministic
+    all.filter(_.dbName.startsWith(prefix)).sortBy(r => (-r.importedAt, r.dbName))
   }
 
   // ---- S5: catalog scan (ORDER BY name ASC, self-excluded) ---------
