@@ -38,6 +38,7 @@ object Import {
       continueOnDeleteFailure: Boolean = false, // GTFS_IMPORTED_CONTINUE_ON_FAILURE_DELETING_OLD_DB
       dsnFilePath: Option[Path] = None,       // K4 PgBouncer routing file
       defaultTz: String = "UTC",
+      materializeViews: Boolean = false,      // write V1/V2 into the import (gtfs-via-postgres materialized views)
       now: () => Long = () => System.currentTimeMillis() / 1000)
 
   /** K6: the structured result object (import.js:83-90). */
@@ -129,6 +130,15 @@ object Import {
         // L4: import metadata
         Views.importMetadata(spark, feedDigest, importedAt, cfg.dbPrefix)
           .write.mode("overwrite").parquet(dbPath.resolve("import_metadata").toString)
+        // materialized consumer views (gtfs-via-postgres materializes
+        // service_days; arrivals_departures partitioned by service date
+        // gives date-ranged departure boards partition pruning)
+        if (cfg.materializeViews) {
+          Views.serviceDays(feed).write.mode("overwrite")
+            .parquet(dbPath.resolve("service_days").toString)
+          Views.materializeArrivalsDepartures(feed,
+            dbPath.resolve("arrivals_departures").toString, cfg.defaultTz)
+        }
         // postprocessing.d SQL analog (import.sh:134-148): each script
         // runs against the imported entity views, in order.
         if (cfg.postprocessSql.nonEmpty) {

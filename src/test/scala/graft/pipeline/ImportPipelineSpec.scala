@@ -76,6 +76,29 @@ class ImportPipelineSpec extends SparkSpec {
       .contains(r5.newImport.get.dbName))
   }
 
+  test("materialized views land in the published import, date-partitioned") {
+    val root = Files.createTempDirectory("store-mat")
+    val feed = TestFeed.writeTo(Files.createTempDirectory("fm"))
+    val r = Import.importGtfsAtomically(spark,
+      mkCfg(root, feed, "m").copy(materializeViews = true, now = () => 1700000500L))
+    val db = MetaStore(root.toString).databasePath(r.newImport.get.dbName)
+    assert(Files.exists(db.resolve("service_days")))
+    val adDir = db.resolve("arrivals_departures")
+    assert(Files.exists(adDir))
+    // partitionBy(svc_date) directory layout → partition pruning
+    val partDirs = java.nio.file.Files.list(adDir).iterator()
+    val hasDatePartition = {
+      var found = false
+      while (partDirs.hasNext) {
+        if (partDirs.next().getFileName.toString.startsWith("svc_date=")) found = true
+      }
+      found
+    }
+    assert(hasDatePartition, "expected svc_date= partition directories")
+    val ad = spark.read.parquet(adDir.toString)
+    assert(ad.count() > 0)
+  }
+
   test("T1: second importer fails fast while the lock is held (NOWAIT)") {
     val root = Files.createTempDirectory("store-lock")
     val store = MetaStore(root.toString)
