@@ -526,19 +526,28 @@ object LlmOps {
         .orderBy("event_type", "k_mod")
     },
 
-    // Multimodal plumbing (rows-only): opaque binary column + typed
-    // metadata, fully distributed (no collect). Decode/feature-extract
-    // stubs live in graft.functions.Multimodal (scalatest-covered).
-    "llm_multimodal_meta" -> QueryDef.noOracle(
-      doc = "binary column + typed metadata plumbing (decode stubbed)") { (s, d) =>
+    // Multimodal plumbing: opaque binary column + typed metadata as
+    // top-level columns (flattened so the driver's pandas sort can hash
+    // them, and so the whole check is SQL-expressible). Decode/
+    // feature-extract stubs live in graft.functions.Multimodal
+    // (scalatest-covered).
+    "llm_multimodal_meta" -> QueryDef(
+      doc = "binary column + typed metadata plumbing (decode stubbed)",
+      oracle = """
+        |SELECT doc_id,
+        |       octet_length(encode(text)) AS byte_len,
+        |       substring(lower(hex(encode(text))), 1, 16) AS header_hex,
+        |       'text/plain' AS mime
+        |FROM documents
+        |ORDER BY doc_id
+        |""") { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           encode(col("text"), "utf-8").as("blob"))
         .select(col("doc_id"),
-          struct(
-            length(col("blob")).as("byte_len"),
-            lower(hex(substring(col("blob"), 1, 8))).as("header_hex"),
-            lit("text/plain").as("mime")).as("meta"))
+          length(col("blob")).cast("long").as("byte_len"),
+          lower(hex(substring(col("blob"), 1, 8))).as("header_hex"),
+          lit("text/plain").as("mime"))
         .orderBy("doc_id")
     },
   )

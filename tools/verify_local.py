@@ -43,13 +43,23 @@ for name, sql in sorted(oracle.items()):
     g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
     w = want[wc].sort_values(by=wc, kind="mergesort").reset_index(drop=True)
     # align dtype drift (e.g. DuckDB HUGEINT -> float64 vs Spark int64)
-    # before string-compare, so only real value differences fail
+    # before string-compare, so only real value differences fail. When
+    # both sides are integer-valued, compare as int64 — a float64 cast
+    # would silently equate distinct ints above 2^53.
     for c in gc:
         import pandas.api.types as pt
         if pt.is_numeric_dtype(g[c]) and pt.is_numeric_dtype(w[c]) \
                 and g[c].dtype != w[c].dtype:
-            g[c] = g[c].astype("float64")
-            w[c] = w[c].astype("float64")
+            def _integral(s):
+                return pt.is_integer_dtype(s) or \
+                    (pt.is_float_dtype(s) and s.notna().all()
+                     and (s == s.round()).all())
+            if _integral(g[c]) and _integral(w[c]):
+                g[c] = g[c].astype("int64")
+                w[c] = w[c].astype("int64")
+            else:
+                g[c] = g[c].astype("float64")
+                w[c] = w[c].astype("float64")
     g = g.astype(str)
     w = w.astype(str)
     neq = (g != w)
