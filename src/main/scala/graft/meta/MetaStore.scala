@@ -36,15 +36,44 @@ final class MetaStore(root: Path) {
   Files.createDirectories(dbsDir)
 
   // ---- T1: exclusive lock, NOWAIT ----------------------------------
-  def acquireLockNowait(): Unit =
-    try Files.createFile(lockFile)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"another importer holds the lock ($lockFile) — failing fast (NOWAIT)")
-    }
+  // An OS-level file-region lock, not an O_CREAT|O_EXCL marker file: the
+  // reference's Postgres EXCLUSIVE table lock (import.js:128-132)
+  // auto-releases when the holder's connection dies, so a crashed
+  // importer (kill -9, OOM) never wedges the next run. FileChannel locks
+  // have the same property — the OS releases them on process death —
+  // where a marker file would persist forever and fail every subsequent
+  // import.
+  private var lockChannel: java.nio.channels.FileChannel = _
+  private var heldLock: java.nio.channels.FileLock = _
 
-  def releaseLock(): Unit = Files.deleteIfExists(lockFile)
+  def acquireLockNowait(): Unit = {
+    val ch = java.nio.channels.FileChannel.open(lockFile,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock =
+      try ch.tryLock()
+      catch {
+        // same-JVM second importer: tryLock throws instead of returning null
+        case _: java.nio.channels.OverlappingFileLockException =>
+          ch.close(); null
+      }
+    if (lock == null) {
+      if (ch.isOpen) ch.close()
+      throw new IllegalStateException(
+        s"another importer holds the lock ($lockFile) — failing fast (NOWAIT)")
+    }
+    lockChannel = ch
+    heldLock = lock
+  }
+
+  /** Release is a no-op unless THIS store holds the lock; the lockfile
+    * itself is never deleted (existence is not the lock — the OS region
+    * lock is), so a non-holder can't unlock a concurrent holder. */
+  def releaseLock(): Unit = {
+    if (heldLock != null && heldLock.isValid) heldLock.release()
+    if (lockChannel != null && lockChannel.isOpen) lockChannel.close()
+    heldLock = null
+    lockChannel = null
+  }
 
   // ---- S4: bookkeeping scan (ORDER BY imported_at DESC) ------------
   def listImports(prefix: String): Seq[SuccessfulImport] = {

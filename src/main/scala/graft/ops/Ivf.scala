@@ -20,17 +20,17 @@ import org.apache.spark.sql.expressions.Window
   * handled by AQE (or [[Joins.saltedJoin]] for a pathological cell). */
 object Ivf {
 
-  /** Squared L2 distance between two double arrays (codegen-unfriendly
-    * HOF — build-time only, k·N pairs, never on the query hot path). */
-  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
-
   /** Assign each vector to its nearest centroid (broadcast, bounded k).
-    * Deterministic tie-break on cell id. */
+    * Deterministic tie-break on cell id. Distance is the native
+    * codegen'd [[graft.functions.L2SqExpr]] — the k×N assignment is the
+    * build's hot loop, and the `aggregate(zip_with(...))` HOF it
+    * replaces ran interpreted (round-2 VERDICT #7); the fused loop keeps
+    * the same fold order, so assignments are bit-identical. */
   private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.L2Sq.register(vectors.sparkSession)
     val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cell"))
     vectors.crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("embedding_d"), col("centroid")))
+      .withColumn("d2", expr("l2_sq(embedding_d, centroid)"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("embedding_d"), col("cell"))
@@ -69,13 +69,14 @@ object Ivf {
   def search(spark: SparkSession, corpus: DataFrame, assignments: DataFrame,
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     graft.functions.DotScaled.register(spark)
+    graft.functions.L2Sq.register(spark)
     val qd = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qe"),
       transform(col("embedding"), x => x.cast("double")).as("qe_d"))
     // nearest nprobe cells per query — bounded broadcast of k centroids
     val wCells = Window.partitionBy("qid").orderBy(asc("d2"), asc("cell"))
     val probed = qd.crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("qe_d"), col("centroid")))
+      .withColumn("d2", expr("l2_sq(qe_d, centroid)"))
       .withColumn("rn", row_number().over(wCells))
       .where(col("rn") <= nprobe)
       .select("qid", "qe", "cell")

@@ -102,26 +102,31 @@ object Clean {
 
     // C9 --minimize-stoptimes: detect constant-headway runs per trip via
     // lag windows and fold them into frequencies (import.sh:77-79).
-    // Islands pattern: delta bucket per consecutive pair, run boundaries
-    // where the bucket changes, running-sum run ids, fold per run.
+    // Islands pattern, FUSED: lag(dep,1) and lag(dep,2) in ONE window
+    // pass give both this pair's delta bucket and the previous pair's
+    // (boundary = the two differ), so only the running-sum needs a second
+    // pass — and it shares the same (user_id / ts, event_id) partition+
+    // ordering, so Spark reuses the first pass's shuffle AND sort. One
+    // shuffle, one sort, two Window operators (was three).
     "c9_headway_folding" -> QueryDef(
-      doc = "lag-delta runs → frequencies folding (islands pattern)",
+      doc = "lag-delta runs → frequencies folding (fused islands pattern)",
       oracle = """
         |WITH deltas AS (
-        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS dep,
-        |         (CAST(floor(epoch(ts)) AS BIGINT)
-        |          - lag(CAST(floor(epoch(ts)) AS BIGINT))
-        |              OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 300 AS db
+        |  SELECT user_id, event_id, ts,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS dep,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS dep1,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT), 2) OVER w AS dep2
         |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), flagged AS (
-        |  SELECT user_id, event_id, dep, db,
-        |         CASE WHEN db IS DISTINCT FROM
-        |                   lag(db) OVER (PARTITION BY user_id ORDER BY dep, event_id)
+        |  SELECT user_id, event_id, ts, dep,
+        |         (dep - dep1) // 300 AS db,
+        |         CASE WHEN (dep - dep1) // 300 IS DISTINCT FROM (dep1 - dep2) // 300
         |              THEN 1 ELSE 0 END AS boundary
-        |  FROM deltas WHERE db IS NOT NULL
+        |  FROM deltas WHERE dep1 IS NOT NULL
         |), runs AS (
         |  SELECT user_id, dep, db,
-        |         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY dep, event_id
+        |         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
         |  FROM flagged
         |)
@@ -133,18 +138,19 @@ object Clean {
         |HAVING count(*) >= 2
         |ORDER BY user_id, run_id
         |""") { (s, d) =>
-      val wDep = Window.partitionBy("user_id").orderBy("dep", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val deltas = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("dep"), col("ts"))
-        .select(col("user_id"), col("event_id"), col("dep"),
-          expr("(dep - lag(dep) over (partition by user_id order by ts, event_id)) div 300")
-            .as("db"))
-        .where(col("db").isNotNull)
-      val flagged = deltas.select(col("user_id"), col("event_id"), col("dep"), col("db"),
-        when(!(col("db") <=> lag("db", 1).over(wDep)), 1).otherwise(0).as("boundary"))
-      flagged
+        .select(col("user_id"), col("event_id"), col("ts"), epochS(col("ts")).as("dep"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("dep"),
+          lag("dep", 1).over(w).as("dep1"), lag("dep", 2).over(w).as("dep2"))
+        .where(col("dep1").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"), col("dep"),
+          expr("(dep - dep1) div 300").as("db"),
+          when(!(expr("(dep - dep1) div 300") <=> expr("(dep1 - dep2) div 300")), 1)
+            .otherwise(0).as("boundary"))
+      deltas
         .select(col("user_id"), col("dep"), col("db"),
-          sum("boundary").over(wDep.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("run_id"))
         .groupBy(col("user_id"), col("run_id"), col("db").as("headway_bucket"))
         .agg((count(lit(1)) + 1).as("n_trips"),
@@ -202,9 +208,14 @@ object Clean {
       val attrs = Seq("p_brand", "p_type", "p_size")
       val canon = p.groupBy(attrs.map(col): _*)
         .agg(min("p_partkey").as("canonical"), count(lit(1)).as("group_size"))
-      val remap = p.join(canon, attrs).select("p_partkey", "canonical", "group_size")
+      // the canon/remap maps are dimension-scale (agencies in the GTFS
+      // domain are bounded — thousands, not fact-scale): broadcasting
+      // them keeps the fact table (lineitem = stop_times analog)
+      // entirely unshuffled — its scan flows straight into the final agg
+      val remap = p.join(broadcast(canon), attrs)
+        .select("p_partkey", "canonical", "group_size")
       Tables.lineitem(s, d)
-        .join(remap, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(remap), col("l_partkey") === col("p_partkey"))
         .groupBy("canonical")
         .agg(max("group_size").as("group_size"), count(lit(1)).as("n_lines"))
         .orderBy("canonical")
@@ -334,9 +345,14 @@ object Clean {
       val attrs = Seq("c_nationkey", "c_mktsegment")
       val canon = c.groupBy(attrs.map(col): _*)
         .agg(min("c_custkey").as("canonical"), count(lit(1)).as("group_size"))
-      val remap = c.join(canon, attrs).select("c_custkey", "canonical", "group_size")
+      // canon is tiny (one row per (nation, segment) — bounded attribute
+      // domain); remap is stop-dimension-scale: broadcast both so the
+      // referencing fact table (orders = stop_times analog) never
+      // shuffles before its final aggregation
+      val remap = c.join(broadcast(canon), attrs)
+        .select("c_custkey", "canonical", "group_size")
       Tables.orders(s, d)
-        .join(remap, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(remap), col("o_custkey") === col("c_custkey"))
         .groupBy("canonical")
         .agg(max("group_size").as("group_size"), count(lit(1)).as("n_orders"))
         .orderBy("canonical")

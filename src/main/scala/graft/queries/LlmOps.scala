@@ -58,6 +58,63 @@ object LlmOps {
       |FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
       |WHERE len(toks) >= 3""".stripMargin
 
+  /** MinHash-LSH candidate pairs over a (doc_id, toks) input: 8
+    * minhashes in ONE aggregation (map-side partial min — the
+    * seed-explode formulation shuffled 8× the rows), 4 bands × 2 rows,
+    * bucket equi-join on (band_id, band_key). Never all-pairs: the
+    * within-bucket pair count is bounded by the band collision
+    * probability, not the corpus size. Shared by `llm_minhash_lsh` and
+    * the Jaccard re-rank (`llm_ngram_jaccard`), whose candidates must
+    * come from here — a (lang, length-bucket) block key grows linearly
+    * with the corpus and its pair space quadratically (round-2 VERDICT
+    * "What's wrong" #6).
+    *
+    * The 8 per-shingle hash values are the 8 disjoint 8-hex-char chunks
+    * of ONE sha256 — one hash invocation per shingle instead of 8
+    * salted ones (subexpression elimination shares the sha2 across the
+    * 8 min aggregates); chunks of a cryptographic hash are independent,
+    * which is all minhash needs. */
+  private def minhashCandidates(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val shing = docs.select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
+    val mhAggs = (0 until 8).map(j =>
+      min(substring(sha2(col("sh"), 256), 1 + 8 * j, 8)).as(s"h$j"))
+    val mh8 = shing.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val bands = mh8.select(col("doc_id"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band_id"),
+        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("band_key"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band_id").as("band_id"),
+        col("bs.band_key").as("band_key"))
+    val a = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** DuckDB CTE chain equivalent to [[minhashCandidates]]; expects a
+    * `docs(doc_id, toks)` CTE in scope, defines `cand(doc_a, doc_b)`. */
+  private val lshCandidateCtes = {
+    val mhCols = (0 until 8).map(j =>
+      s"min(substr(sha256(sh), ${1 + 8 * j}, 8)) AS h$j").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_id, h${2 * b} || h${2 * b + 1} AS band_key FROM mh")
+      .mkString(" UNION ALL ")
+    s"""shing AS (
+    |  $shingleSql
+    |), mh AS (
+    |  SELECT doc_id, $mhCols
+    |  FROM shing GROUP BY doc_id
+    |), bands AS (
+    |  $bandRows
+    |), cand AS (
+    |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    |  FROM bands a JOIN bands b USING (band_id, band_key)
+    |  WHERE a.doc_id < b.doc_id
+    |)""".stripMargin
+  }
+
   /** documents ∪ a perturbed copy (first token dropped, doc_id+1000000):
     * guarantees the corpus contains true near-duplicates so the dedup
     * operators produce non-empty, checkable candidate sets. */
@@ -108,47 +165,14 @@ object LlmOps {
       oracle = s"""
         |WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM ($corpusSql)
-        |), shing AS (
-        |  $shingleSql
-        |), mh AS (
-        |  SELECT doc_id, s.seed,
-        |         min(substr(sha256(CAST(s.seed AS VARCHAR) || '|' || sh), 1, 16)) AS h
-        |  FROM shing, (SELECT unnest(range(8)) AS seed) s
-        |  GROUP BY doc_id, s.seed
-        |), bands AS (
-        |  SELECT doc_id, seed // 2 AS band_id,
-        |         string_agg(h, '' ORDER BY seed) AS band_key
-        |  FROM mh GROUP BY doc_id, seed // 2
-        |)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bands a JOIN bands b USING (band_id, band_key)
-        |WHERE a.doc_id < b.doc_id
+        |), $lshCandidateCtes
+        |SELECT doc_a, doc_b FROM cand
         |ORDER BY doc_a, doc_b
         |""") { (s, d) =>
       val docs = corpus(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
-      val shing = docs.select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
-      // all 8 minhashes in ONE aggregation over the shingle rows (8 agg
-      // columns with map-side partial min) instead of exploding ×8 —
-      // the seed-explode formulation shuffled 8× the rows for the same
-      // result and was 6× slower than the DuckDB baseline
-      val mhAggs = (0 until 8).map(seed =>
-        min(substring(sha2(
-          concat(lit(seed.toString), lit("|"), col("sh")), 256), 1, 16)).as(s"h$seed"))
-      val mh8 = shing.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-      val bands = mh8.select(col("doc_id"),
-        explode(array((0 until 4).map(b => struct(
-          lit(b).as("band_id"),
-          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("band_key"))): _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band_id").as("band_id"),
-          col("bs.band_key").as("band_key"))
-      val a = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-      val b = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
-      a.join(b, Seq("band_id", "band_key"))
-        .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-        .orderBy("doc_a", "doc_b")
+      minhashCandidates(docs).orderBy("doc_a", "doc_b")
     },
 
     // SimHash: 16-bit signature from per-token hash nibbles (±1 votes per
@@ -177,46 +201,45 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
-    // n-gram Jaccard on BLOCKED candidates: (lang, length-bucket) blocks
-    // bound the pair space; exact 3-shingle Jaccard re-ranks. At scale
-    // the blocks come from LSH buckets — never an unblocked self-join.
+    // n-gram Jaccard re-rank on MinHash-LSH candidates: the candidate
+    // pairs come from the banded LSH buckets (bounded collision
+    // probability per pair — corpus-size-independent), and the exact
+    // 3-shingle Jaccard re-ranks them. The corpus is doubled with
+    // near-duplicate perturbations (see `corpus`) so the candidate set
+    // is non-trivial. A (lang, length-bucket) block key — the previous
+    // formulation — grows its within-block pair space quadratically
+    // with the corpus; LSH chaining is the 100 TB shape.
     "llm_ngram_jaccard" -> QueryDef(
-      doc = "blocked candidate pairs + exact 3-shingle Jaccard",
-      oracle = """
+      doc = "MinHash-LSH candidate pairs + exact 3-shingle Jaccard re-rank",
+      oracle = s"""
         |WITH docs AS (
-        |  SELECT doc_id, lang, n_chars // 25 AS lbucket,
-        |         string_split(text, ' ') AS toks
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, lang, lbucket,
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM ($corpusSql)
+        |), $lshCandidateCtes, sh AS (
+        |  SELECT doc_id,
         |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
         |                        FOR i IN range(1, len(toks) - 1)]) AS shs
         |  FROM docs WHERE len(toks) >= 3
         |)
         |SELECT doc_a, doc_b, jacc_milli FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  SELECT doc_a, doc_b,
         |         CAST(floor(1000.0 * len(list_intersect(a.shs, b.shs))
         |              / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))))
         |              AS BIGINT) AS jacc_milli
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.lbucket = b.lbucket
-        |                     AND a.doc_id < b.doc_id
+        |  FROM cand JOIN sh a ON a.doc_id = doc_a
+        |            JOIN sh b ON b.doc_id = doc_b
         |)
         |WHERE jacc_milli >= 100
         |ORDER BY doc_a, doc_b
         |""") { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), expr("n_chars div 25").as("lbucket"),
-          split(col("text"), " ").as("toks"))
+      val docs = corpus(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
-        .select(col("doc_id"), col("lang"), col("lbucket"),
-          array_distinct(shingles(col("toks"))).as("shs"))
-      val a = docs.select(col("lang"), col("lbucket"),
-        col("doc_id").as("doc_a"), col("shs").as("sha_"))
-      val b = docs.select(col("lang"), col("lbucket"),
-        col("doc_id").as("doc_b"), col("shs").as("shb_"))
+      val cand = minhashCandidates(docs)
+      val shs = docs.select(col("doc_id"), array_distinct(shingles(col("toks"))).as("shs"))
       val inter = size(array_intersect(col("sha_"), col("shb_")))
-      a.join(b, Seq("lang", "lbucket"))
-        .where(col("doc_a") < col("doc_b"))
+      cand
+        .join(shs.select(col("doc_id").as("doc_a"), col("shs").as("sha_")), Seq("doc_a"))
+        .join(shs.select(col("doc_id").as("doc_b"), col("shs").as("shb_")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           floor(lit(1000.0) * inter / (size(col("sha_")) + size(col("shb_")) - inter))
             .cast("long").as("jacc_milli"))
@@ -262,61 +285,87 @@ object LlmOps {
     },
 
     // Random-hyperplane (SimHash-for-vectors) cosine LSH: the CELL-FREE
-    // near-dup scale path — no label/quantizer needed. 4 deterministic
-    // pseudo-random ±1 hyperplanes (sign bits from sha2 of the (plane,
-    // dim) pair) bucket the corpus into 16 balanced buckets; candidates
-    // join on the bucket (equi join), exact cosine re-ranks. Sign sums
-    // use exact scaled-int arithmetic so bucket assignment is
-    // order-independent and engine-identical.
+    // near-dup scale path — no label/quantizer needed. PARAMETERIZED and
+    // BANDED (round-2 VERDICT #5): b = NB·RB deterministic ±1
+    // hyperplanes (sign bits from sha2 of the (plane, dim) pair) give
+    // every vector NB band keys of RB bits; candidates join on
+    // (band_id, band_key) — so the corpus splits into 2^RB buckets per
+    // band (scale RB with corpus size: pair space ∝ N²/2^RB) while the
+    // NB-band union keeps recall (a true near-dup pair only needs ONE
+    // band of agreeing signs). Fixed 4-plane/16-bucket bucketing — the
+    // previous formulation — had N²/16 within-bucket pairs forever.
+    // Sign sums use exact scaled-int arithmetic so band assignment is
+    // order-independent and engine-identical. Here b=6 as 3 bands × 2.
     "llm_cosine_lsh" -> QueryDef(
-      doc = "random-hyperplane LSH buckets + exact cosine re-rank",
+      doc = "banded random-hyperplane LSH (b=6: 3 bands × 2 planes) + exact cosine re-rank",
       oracle = {
-        val bits = (0 until 4).map { p =>
-          s"CASE WHEN sum(CASE WHEN substr(sha256('$p-' || CAST(i AS VARCHAR)), 1, 1) >= '8' " +
-            "THEN vi ELSE -vi END) > 0 THEN '1' ELSE '0' END"
-        }.mkString(" || ")
+        def bitSql(p: Int) =
+          s"(CASE WHEN sum(CASE WHEN substr(sha256('$p-' || CAST(i AS VARCHAR)), 1, 1) >= '8' " +
+            s"THEN vi ELSE -vi END) > 0 THEN '1' ELSE '0' END)"
+        val sums = (0 until 6).map(p => s"${bitSql(p)} AS b$p").mkString(", ")
+        val bandRows = (0 until 3).map(g =>
+          s"SELECT vec_id, $g AS band_id, b${2 * g} || b${2 * g + 1} AS band_key FROM signs")
+          .mkString(" UNION ALL ")
         s"""
         |WITH dims AS (
         |  SELECT vec_id, i,
         |         CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS vi
         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
-        |), bucketed AS (
-        |  SELECT vec_id, $bits AS bucket FROM dims GROUP BY vec_id
+        |), signs AS (
+        |  SELECT vec_id, $sums FROM dims GROUP BY vec_id
+        |), bands AS (
+        |  $bandRows
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bands a JOIN bands b USING (band_id, band_key)
+        |  WHERE a.vec_id < b.vec_id
         |), v AS (
-        |  SELECT e.vec_id, e.embedding AS emb, b.bucket,
-        |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
-        |  FROM embeddings e JOIN bucketed b USING (vec_id)
+        |  SELECT vec_id, embedding AS emb,
+        |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        |  FROM embeddings
         |)
         |SELECT vec_a, vec_b, cos_milli FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  SELECT vec_a, vec_b,
         |         CAST(floor(1000.0 * (${dotSql("a.emb", "b.emb")})
         |              / (a.nrm * b.nrm)) AS BIGINT) AS cos_milli
-        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  FROM cand JOIN v a ON a.vec_id = vec_a
+        |            JOIN v b ON b.vec_id = vec_b
         |)
         |WHERE cos_milli >= 250
         |ORDER BY vec_a, vec_b
         |""" }) { (s, d) =>
+      val nPlanes = 6
+      val nBands = 3 // RB = nPlanes / nBands = 2 bits per band key
       val dims = Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
         .select(col("vec_id"), (col("pos0") + 1).cast("string").as("i"),
           floor(col("v").cast("double") * 1000000 + 0.5).cast("long").as("vi"))
-      val signAggs = (0 until 4).map { p =>
+      val signAggs = (0 until nPlanes).map { p =>
         sum(when(substring(sha2(concat(lit(s"$p-"), col("i")), 256), 1, 1) >= "8",
           col("vi")).otherwise(-col("vi"))).as(s"d$p")
       }
-      val bucketed = dims.groupBy("vec_id").agg(signAggs.head, signAggs.tail: _*)
-        .select(col("vec_id"),
-          concat((0 until 4).map(p =>
-            when(col(s"d$p") > 0, "1").otherwise("0")): _*).as("bucket"))
-      val v = Tables.embeddings(s, d).join(bucketed, Seq("vec_id"))
-        .select(col("vec_id"), col("embedding"), col("bucket"),
-          sqrt(dotScaled(s, "embedding", "embedding").cast("double")).as("nrm"))
-      val a = v.select(col("bucket"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = v.select(col("bucket"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(b, Seq("bucket"))
+      val signs = dims.groupBy("vec_id").agg(signAggs.head, signAggs.tail: _*)
+        .select(col("vec_id") +: (0 until nPlanes).map(p =>
+          when(col(s"d$p") > 0, "1").otherwise("0").as(s"b$p")): _*)
+      val bands = signs.select(col("vec_id"),
+        explode(array((0 until nBands).map(g => struct(
+          lit(g).as("band_id"),
+          concat(col(s"b${2 * g}"), col(s"b${2 * g + 1}")).as("band_key"))): _*)).as("bs"))
+        .select(col("vec_id"), col("bs.band_id").as("band_id"),
+          col("bs.band_key").as("band_key"))
+      val ca = bands.select(col("band_id"), col("band_key"), col("vec_id").as("vec_a"))
+      val cb = bands.select(col("band_id"), col("band_key"), col("vec_id").as("vec_b"))
+      val cand = ca.join(cb, Seq("band_id", "band_key"))
         .where(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dotScaled(s, "embedding", "embedding").cast("double")).as("nrm"))
+      cand
+        .join(v.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea"), col("nrm").as("na")), Seq("vec_a"))
+        .join(v.select(col("vec_id").as("vec_b"),
+          col("embedding").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
         .select(col("vec_a"), col("vec_b"),
           floor(lit(1000.0) * dotScaled(s, "ea", "eb") /
             (col("na") * col("nb"))).cast("long").as("cos_milli"))

@@ -47,6 +47,46 @@ object JdbcSink {
   def loadFeed(feed: Map[String, DataFrame], target: JdbcTarget): Unit =
     feed.foreach { case (entity, df) => writeTable(df, target, entity) }
 
+  /** Load a feed into one schema per import — the reference's
+    * per-import PostgreSQL *database* (import.js:246-247) mapped onto a
+    * per-import *schema* of a long-lived target DB (L5 --schema,
+    * import.sh:128). Derby/PostgreSQL create the schema implicitly /
+    * via DDL on first table creation. */
+  def loadFeedIntoSchema(feed: Map[String, DataFrame], target: JdbcTarget,
+      schema: String): Unit =
+    feed.foreach { case (entity, df) =>
+      writeTable(df, target, s"$schema.$entity")
+    }
+
+  /** T4 retention for the JDBC side: drop every table in the import's
+    * schema (discovered via JDBC metadata — engine-portable), then the
+    * schema itself. Tolerates a schema that never existed. */
+  def dropSchema(target: JdbcTarget, schema: String): Unit = {
+    val conn =
+      if (target.user.nonEmpty)
+        DriverManager.getConnection(target.url, target.user, target.password)
+      else DriverManager.getConnection(target.url)
+    Using.resource(conn) { c =>
+      val md = c.getMetaData
+      // unquoted identifiers are case-folded per engine (Derby: upper)
+      val candidates = Seq(schema, schema.toUpperCase(java.util.Locale.ROOT),
+        schema.toLowerCase(java.util.Locale.ROOT)).distinct
+      candidates.foreach { sc =>
+        val tables = Using.resource(md.getTables(null, sc, "%", Array("TABLE"))) { rs =>
+          Iterator.continually(rs).takeWhile(_.next())
+            .map(_.getString("TABLE_NAME")).toList
+        }
+        tables.foreach { t =>
+          Using.resource(c.createStatement())(_.execute(s"""DROP TABLE "$sc"."$t""""))
+        }
+        if (tables.nonEmpty)
+          try Using.resource(c.createStatement())(
+            _.execute(s"""DROP SCHEMA "$sc" RESTRICT"""))
+          catch { case _: java.sql.SQLException => () } // PG: schema may hold non-tables
+      }
+    }
+  }
+
   def readTable(spark: SparkSession, target: JdbcTarget, table: String): DataFrame =
     spark.read.jdbc(target.url, table, props(target))
 

@@ -107,6 +107,60 @@ class ViewsSpec extends SparkSpec {
     assert(total > 0)
   }
 
+  test("V6b hour buckets are agency-LOCAL hours (23:30 Berlin → 23, not UTC 22)") {
+    import spark.implicits._
+    // single-trip feed departing 23:30 local on a CET (UTC+1) date:
+    // the UTC event time is 22:30, so a UTC-hour bucketing would yield
+    // 22 — gtfs-via-postgres's stats family buckets by local time.
+    val files = Map(
+      "agency.txt" ->
+        "agency_id,agency_name,agency_url,agency_timezone\na1,M,https://m,Europe/Berlin\n",
+      "routes.txt" -> "route_id,agency_id,route_short_name,route_type\nr1,a1,X,1\n",
+      "trips.txt" -> "trip_id,route_id,service_id\nt1,r1,svc\n",
+      "stops.txt" -> "stop_id,stop_name,stop_lat,stop_lon\nsx,A,52.5,13.4\n",
+      "stop_times.txt" ->
+        "trip_id,arrival_time,departure_time,stop_id,stop_sequence\nt1,23:30:00,23:30:00,sx,1\n",
+      "calendar.txt" ->
+        ("service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date\n" +
+          "svc,1,1,1,1,1,1,1,20240304,20240304\n"))
+    val dir = Files.createTempDirectory("feedlocalhr")
+    files.foreach { case (n, c) => Files.writeString(dir.resolve(n), c) }
+    val f = Import.readFeed(spark, dir)
+    val hrs = Views.statsByRouteStopHour(f).select("dep_hour").as[Int].collect().toSeq
+    assert(hrs == Seq(23), s"expected local hour 23, got $hrs")
+  }
+
+  test("trips whose frequencies rows are ALL invalid keep their scheduled run") {
+    import spark.implicits._
+    // t1 gains an invalid frequencies row (headway_secs=0). It must NOT
+    // vanish from arrivals_departures: invalid rows don't replace the
+    // scheduled stop_times (shift 0 fallback).
+    val dir = TestFeed.writeTo(Files.createTempDirectory("feedinvfreq"),
+      _.updated("frequencies.txt",
+        """trip_id,start_time,end_time,headway_secs,exact_times
+          |t4,07:00:00,08:00:00,1200,1
+          |t1,07:00:00,08:00:00,0,1
+          |""".stripMargin))
+    val f = Import.readFeed(spark, dir)
+    val t1 = Views.arrivalsDepartures(f, "UTC")
+      .where("trip_id = 't1' and svc_date = date'2024-03-04'")
+    assert(t1.count() == 3, "t1's 3 scheduled stop events survive")
+    val shifts = t1.select("shift").distinct().as[Long].collect().toSeq
+    assert(shifts == Seq(0L), "invalid frequencies → scheduled run (shift 0)")
+  }
+
+  test("V7 counts each frequency replica as its own active trip") {
+    import spark.implicits._
+    // t4's 3 replicas (07:00/07:20/07:40 Berlin = 06:xx UTC on
+    // 2024-03-04) all overlap UTC hour 6 → that bucket counts ≥ 3.
+    val bucket = java.time.Instant.parse("2024-03-04T06:00:00Z")
+      .getEpochSecond / 3600
+    val n = Views.activeTripsByHour(feed, "UTC")
+      .where(org.apache.spark.sql.functions.col("hour_bucket") === bucket)
+      .select("n_active_trips").as[Long].head()
+    assert(n >= 3, s"3 concurrent replicas must count separately, got $n")
+  }
+
   test("V8 translations join with lower-cased language codes") {
     import spark.implicits._
     val t = Views.translatedStopNames(feed)

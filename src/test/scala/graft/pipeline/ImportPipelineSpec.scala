@@ -193,4 +193,113 @@ class ImportPipelineSpec extends SparkSpec {
     val r3 = Import.importGtfsAtomically(spark, cfg(Some(pp), "c"))
     assert(r3.importSkipped)
   }
+
+  test("§2.11 postprocessing.d executes: sql → views, executables get the import dir") {
+    val root = Files.createTempDirectory("store-ppx")
+    val feed = TestFeed.writeTo(Files.createTempDirectory("fppx"))
+    val pp = Files.createTempDirectory("ppx-scripts")
+    // *.sql runs against the registered entity views (psql analog);
+    // two statements in one file (the `-1` whole-file semantics)
+    Files.writeString(pp.resolve("10-views.sql"),
+      """CREATE OR REPLACE TEMPORARY VIEW pp_stop_count AS
+        |SELECT count(*) AS n FROM stops;
+        |SELECT * FROM pp_stop_count""".stripMargin)
+    // non-.sql executable runs with (gtfs dir, db dir) argv — its effect
+    // must land in the PUBLISHED import
+    val sh = pp.resolve("20-marker")
+    Files.writeString(sh, "#!/bin/sh\necho postprocessed > \"$2/pp-marker.txt\"\n")
+    sh.toFile.setExecutable(true)
+    // dotfiles are excluded (P6) — this one would fail the import if run
+    Files.writeString(pp.resolve(".90-broken.sql"), "SELECT * FROM no_such_table")
+    val r = Import.importGtfsAtomically(spark,
+      mkCfg(root, feed, "ppx").copy(postprocessingDir = Some(pp),
+        now = () => 1700000600L))
+    assert(!r.importSkipped)
+    val db = MetaStore(root.toString).databasePath(r.newImport.get.dbName)
+    assert(Files.exists(db.resolve("pp-marker.txt")),
+      "executable postprocessing script's effect visible in the published import")
+    assert(spark.sql("SELECT n FROM pp_stop_count").head().getLong(0) >= 1L,
+      "sql postprocessing script's view queryable after import")
+    // C18: the cleaning log artifact is persisted alongside the import
+    val log = db.resolve("clean-log.txt")
+    assert(Files.exists(log))
+    val logTxt = Files.readString(log)
+    assert(logTxt.contains("delete-orphans\ton") && logTxt.contains("feed_digest"))
+  }
+
+  test("K1 JDBC: per-import schema load; retention drops the old schema") {
+    import graft.sinks.JdbcSink
+    val url = "jdbc:derby:memory:graftpipe;create=true"
+    val target = JdbcSink.JdbcTarget(url, loadParallelism = 1)
+    val root = Files.createTempDirectory("store-jdbc")
+    var clock = 1700001000L
+    def cfg(dir: Path, tag: String) =
+      mkCfg(root, dir, tag).copy(jdbcTarget = Some(target),
+        determineDbsToRetain = Retention.newestN(1),
+        now = () => { clock += 10; clock })
+    val f1 = TestFeed.writeTo(Files.createTempDirectory("fj1"))
+    val r1 = Import.importGtfsAtomically(spark, cfg(f1, "a"))
+    val db1 = r1.newImport.get.dbName
+    // entities queryable via JDBC in the import's schema
+    val agencies = JdbcSink.readTable(spark, target, s"$db1.agency")
+    assert(agencies.count() == 1, "C11-merged agency loaded via JDBC")
+    assert(JdbcSink.readTable(spark, target, s"$db1.stops").count() > 0)
+    // two more imports with newest-1 retention → db1's schema is dropped
+    val f2 = TestFeed.writeTo(Files.createTempDirectory("fj2"),
+      _.updated("feed_info.txt",
+        "feed_publisher_name,feed_publisher_url,feed_lang\nM2,https://m2,EN\n"))
+    Import.importGtfsAtomically(spark, cfg(f2, "b"))
+    val f3 = TestFeed.writeTo(Files.createTempDirectory("fj3"),
+      _.updated("feed_info.txt",
+        "feed_publisher_name,feed_publisher_url,feed_lang\nM3,https://m3,FR\n"))
+    val r3 = Import.importGtfsAtomically(spark, cfg(f3, "c"))
+    assert(!MetaStore(root.toString).listDatabases("gtfs_").contains(db1))
+    intercept[Exception] { // schema gone with the directory (T4)
+      JdbcSink.readTable(spark, target, s"$db1.agency").count()
+    }
+    // newest import remains queryable
+    assert(JdbcSink.readTable(spark, target,
+      s"${r3.newImport.get.dbName}.agency").count() == 1)
+  }
+
+  test("stage overrides: GTFS_DOWNLOAD_SCRIPT / GTFS_IMPORT_SCRIPT analogs") {
+    val root = Files.createTempDirectory("store-ovr")
+    val feedDir = TestFeed.writeTo(Files.createTempDirectory("fovr"))
+    var dlCalled = false
+    var impCalled = false
+    val cfg = mkCfg(root, feedDir, "ov").copy(
+      feedUrl = Some("http://unreachable.invalid/feed.zip"),
+      userAgent = "graft-test/1.0",
+      // download override ignores the URL and zips the fixture itself —
+      // proving the stage is replaced wholesale (no network touched)
+      downloadStage = Some { (_, dest, _) =>
+        val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(dest))
+        Files.list(feedDir).forEach { f =>
+          zos.putNextEntry(new java.util.zip.ZipEntry(f.getFileName.toString))
+          zos.write(Files.readAllBytes(f)); zos.closeEntry()
+        }
+        zos.close(); dlCalled = true; dest
+      },
+      importStage = Some { (s, c, staged, dbPath) =>
+        impCalled = true
+        Import.defaultImportStage(s, c, staged, dbPath)
+      },
+      now = () => 1700000700L)
+    val r = Import.importGtfsAtomically(spark, cfg)
+    assert(dlCalled && impCalled, "both stage overrides invoked")
+    assert(!r.importSkipped && r.newImport.isDefined)
+    assert(Files.exists(
+      MetaStore(root.toString).databasePath(r.newImport.get.dbName).resolve("stops")))
+  }
+
+  test("T1: a stale lockfile from a crashed importer does not wedge the next run") {
+    val root = Files.createTempDirectory("store-stale")
+    val store = MetaStore(root.toString)
+    // a crashed JVM leaves the lockFILE behind, but the OS released its
+    // region lock with the process — the next importer must proceed
+    // (the reference's PG lock dies with the session, import.js:128-132)
+    Files.createFile(root.resolve("meta").resolve(".import.lock"))
+    store.acquireLockNowait() // must NOT fail fast on the stale file
+    store.releaseLock()
+  }
 }
