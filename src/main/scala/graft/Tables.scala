@@ -6,16 +6,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Reads are plain parquet scans so Catalyst can push filters and prune
   * columns into the scan (verified via `.explain`: `PushedFilters`,
-  * `ReadSchema`). No caching here — each query declares its own plan so
-  * the optimizer sees the narrowest possible scan.
+  * `ReadSchema`).
+  *
+  * The resolved DataFrame (file listing + footer schema) is cached per
+  * (session, dir, table): `spark.read.parquet` re-lists and re-reads
+  * footers on every call, a driver-side fixed cost each of the 44 bench
+  * queries paid separately. Reusing the RELATION does not pin any plan
+  * shape — pruning/pushdown happen per query on top of it — and no row
+  * data is cached.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.getOrElseUpdate((spark, sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

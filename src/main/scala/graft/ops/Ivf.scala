@@ -25,14 +25,20 @@ object Ivf {
     * codegen'd [[graft.functions.L2SqExpr]] — the k×N assignment is the
     * build's hot loop, and the `aggregate(zip_with(...))` HOF it
     * replaces ran interpreted (round-2 VERDICT #7); the fused loop keeps
-    * the same fold order, so assignments are bit-identical. */
+    * the same fold order, so assignments are bit-identical.
+    *
+    * argmin is a `min(struct(d2, cell))` AGGREGATION, not a row_number
+    * window: the partial min combines map-side, so the shuffle carries N
+    * rows (one per vector) instead of the window formulation's k·N rows
+    * plus a sort. struct ordering (d2, then cell) = the same
+    * deterministic tie-break. */
   private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     graft.functions.L2Sq.register(vectors.sparkSession)
-    val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cell"))
     vectors.crossJoin(broadcast(centroids))
       .withColumn("d2", expr("l2_sq(embedding_d, centroid)"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cell"))).getField("cell").as("cell"),
+        first("embedding_d").as("embedding_d"))
       .select(col("vec_id"), col("embedding_d"), col("cell"))
   }
 

@@ -243,13 +243,20 @@ object Clean {
       val o = Tables.orders(s, d)
       val attrs = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
       val canon = o.groupBy(attrs.map(col): _*).agg(min("o_orderkey").as("canonical"))
-      val remap = o.join(canon, attrs).select("o_orderkey", "canonical")
+      // routes (played by orders here) are a dimension entity in the
+      // GTFS domain — the canon/remap maps are broadcastable like C11's
+      val remap = o.join(broadcast(canon), attrs).select("o_orderkey", "canonical")
       val remapped = Tables.lineitem(s, d)
-        .join(remap.where(col("o_orderkey") =!= col("canonical")),
+        .join(broadcast(remap.where(col("o_orderkey") =!= col("canonical"))),
           col("l_orderkey") === col("o_orderkey"), "left_semi")
+      // o_orderkey is unique and canonical = min(id) per group, so
+      // n_before = count(*) and n_after = #self-canonical rows — a plain
+      // aggregation; the countDistinct pair would Expand the remap rows
+      // ×2 through the shuffle for the same numbers
       remap.agg(
-        countDistinct("o_orderkey").as("n_before"),
-        countDistinct("canonical").as("n_after"))
+        count(lit(1)).as("n_before"),
+        sum(when(col("o_orderkey") === col("canonical"), 1L).otherwise(0L))
+          .as("n_after"))
         .crossJoin(remapped.agg(count(lit(1)).as("n_lines_remapped")))
     },
 
@@ -273,17 +280,18 @@ object Clean {
         |GROUP BY dsig
         |ORDER BY canonical
         |""") { (s, d) =>
-      val ds = Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderdate").cast("date").as("dt"))
-        .distinct()
-      val sig = ds
-        .select(col("o_custkey"), date_format(col("dt"), "yyyy-MM-dd").as("dstr"), col("dt"))
+      // collect_set folds the DISTINCT into the signature aggregation —
+      // one shuffle instead of a distinct pass plus a groupBy (the date
+      // set per service is bounded by the calendar span, so the set
+      // state is small)
+      val sig = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd").as("dstr"))
         .groupBy("o_custkey")
-        .agg(
-          substring(sha2(array_join(transform(
-            array_sort(collect_list(struct(col("dt"), col("dstr")))),
-            x => x.getField("dstr")), ","), 256), 1, 8).as("dsig"),
-          count(lit(1)).as("n_dates"))
+        .agg(array_sort(collect_set(col("dstr"))).as("ds"))
+        .select(col("o_custkey"),
+          substring(sha2(array_join(col("ds"), ","), 256), 1, 8).as("dsig"),
+          size(col("ds")).cast("long").as("n_dates"))
       sig.groupBy("dsig")
         .agg(min("o_custkey").as("canonical"),
           count(lit(1)).as("n_services"), max("n_dates").as("n_dates"))

@@ -286,26 +286,29 @@ object LlmOps {
 
     // Random-hyperplane (SimHash-for-vectors) cosine LSH: the CELL-FREE
     // near-dup scale path — no label/quantizer needed. PARAMETERIZED and
-    // BANDED (round-2 VERDICT #5): b = NB·RB deterministic ±1
-    // hyperplanes (sign bits from sha2 of the (plane, dim) pair) give
-    // every vector NB band keys of RB bits; candidates join on
-    // (band_id, band_key) — so the corpus splits into 2^RB buckets per
-    // band (scale RB with corpus size: pair space ∝ N²/2^RB) while the
-    // NB-band union keeps recall (a true near-dup pair only needs ONE
-    // band of agreeing signs). Fixed 4-plane/16-bucket bucketing — the
-    // previous formulation — had N²/16 within-bucket pairs forever.
+    // BANDED (round-2 VERDICT #5): NB·RB deterministic ±1 hyperplanes
+    // (plane p's sign for dimension i = hex char p of sha256(i) — ONE
+    // hash per dimension, shared across all planes by subexpression
+    // elimination) give every vector NB band keys of RB bits; candidates
+    // join on (band_id, band_key) — the corpus splits into 2^RB buckets
+    // per band (scale RB with corpus size: pair space ∝ NB·N²/2^RB)
+    // while the NB-band union keeps recall for true near-dups (a pair
+    // only needs ONE band of agreeing signs). Fixed 4-plane/16-bucket
+    // bucketing — the round-2 formulation — had N²/16 pairs forever.
     // Sign sums use exact scaled-int arithmetic so band assignment is
-    // order-independent and engine-identical. Here b=6 as 3 bands × 2.
+    // order-independent and engine-identical. Here RB=6 (64 buckets per
+    // band, the VERDICT target), NB=2.
     "llm_cosine_lsh" -> QueryDef(
-      doc = "banded random-hyperplane LSH (b=6: 3 bands × 2 planes) + exact cosine re-rank",
+      doc = "banded random-hyperplane LSH (2 bands × 6 planes, 64 buckets/band) + exact cosine re-rank",
       oracle = {
         def bitSql(p: Int) =
-          s"(CASE WHEN sum(CASE WHEN substr(sha256('$p-' || CAST(i AS VARCHAR)), 1, 1) >= '8' " +
+          s"(CASE WHEN sum(CASE WHEN substr(sha256(CAST(i AS VARCHAR)), ${p + 1}, 1) >= '8' " +
             s"THEN vi ELSE -vi END) > 0 THEN '1' ELSE '0' END)"
-        val sums = (0 until 6).map(p => s"${bitSql(p)} AS b$p").mkString(", ")
-        val bandRows = (0 until 3).map(g =>
-          s"SELECT vec_id, $g AS band_id, b${2 * g} || b${2 * g + 1} AS band_key FROM signs")
-          .mkString(" UNION ALL ")
+        val sums = (0 until 12).map(p => s"${bitSql(p)} AS b$p").mkString(", ")
+        val bandRows = (0 until 2).map(g =>
+          s"SELECT vec_id, $g AS band_id, " +
+            (0 until 6).map(j => s"b${6 * g + j}").mkString(" || ") +
+            " AS band_key FROM signs").mkString(" UNION ALL ")
         s"""
         |WITH dims AS (
         |  SELECT vec_id, i,
@@ -334,30 +337,11 @@ object LlmOps {
         |WHERE cos_milli >= 250
         |ORDER BY vec_a, vec_b
         |""" }) { (s, d) =>
-      val nPlanes = 6
-      val nBands = 3 // RB = nPlanes / nBands = 2 bits per band key
-      val dims = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
-        .select(col("vec_id"), (col("pos0") + 1).cast("string").as("i"),
-          floor(col("v").cast("double") * 1000000 + 0.5).cast("long").as("vi"))
-      val signAggs = (0 until nPlanes).map { p =>
-        sum(when(substring(sha2(concat(lit(s"$p-"), col("i")), 256), 1, 1) >= "8",
-          col("vi")).otherwise(-col("vi"))).as(s"d$p")
-      }
-      val signs = dims.groupBy("vec_id").agg(signAggs.head, signAggs.tail: _*)
-        .select(col("vec_id") +: (0 until nPlanes).map(p =>
-          when(col(s"d$p") > 0, "1").otherwise("0").as(s"b$p")): _*)
-      val bands = signs.select(col("vec_id"),
-        explode(array((0 until nBands).map(g => struct(
-          lit(g).as("band_id"),
-          concat(col(s"b${2 * g}"), col(s"b${2 * g + 1}")).as("band_key"))): _*)).as("bs"))
-        .select(col("vec_id"), col("bs.band_id").as("band_id"),
-          col("bs.band_key").as("band_key"))
-      val ca = bands.select(col("band_id"), col("band_key"), col("vec_id").as("vec_a"))
-      val cb = bands.select(col("band_id"), col("band_key"), col("vec_id").as("vec_b"))
-      val cand = ca.join(cb, Seq("band_id", "band_key"))
-        .where(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b").distinct()
+      // rb=6 bits → 64 buckets per band (the scale knob), 2 bands for
+      // recall; candidate generation shared with CosineLshSpec's
+      // planted-near-dup recall property test
+      val cand = graft.ops.CosineLsh.candidates(
+        Tables.embeddings(s, d), bitsPerBand = 6, nBands = 2)
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           sqrt(dotScaled(s, "embedding", "embedding").cast("double")).as("nrm"))
@@ -521,7 +505,12 @@ object LlmOps {
     },
 
     // Document fingerprinting: bottom-3 sketch of shingle hashes
-    // (winnowing-style); per-doc state bounded at 3 hashes.
+    // (winnowing-style). One aggregation: slice(array_sort(collect_set))
+    // — the per-doc set is bounded by the doc's shingle count, and the
+    // single groupBy replaces the round-2 distinct + window + groupBy
+    // chain (3 shuffles → 1). At fact scale the exact-set state per doc
+    // is still bounded by document length; a true streaming bottom-k
+    // sketch would cap it harder, at the cost of a custom Aggregator.
     "llm_fingerprint" -> QueryDef(
       doc = "bottom-k shingle-hash document fingerprint",
       oracle = s"""
@@ -544,15 +533,12 @@ object LlmOps {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
-      val hs = docs
+      docs
         .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
         .select(col("doc_id"), substring(sha2(col("sh"), 256), 1, 12).as("h"))
-        .distinct()
-      val w = Window.partitionBy("doc_id").orderBy("h")
-      hs.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 3)
         .groupBy("doc_id")
-        .agg(array_join(array_sort(collect_list(col("h"))), "-").as("fingerprint"))
+        .agg(array_join(slice(array_sort(collect_set(col("h"))), 1, 3), "-")
+          .as("fingerprint"))
         .orderBy("doc_id")
     },
 
