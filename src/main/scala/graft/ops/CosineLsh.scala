@@ -41,6 +41,10 @@ object CosineLsh {
     val signs = dims.groupBy("vec_id").agg(signAggs.head, signAggs.tail: _*)
       .select(col("vec_id") +: (0 until nPlanes).map(p =>
         when(col(s"d$p") > 0, "1").otherwise("0").as(s"b$p")): _*)
+    // candidate pairs via bucket self-join: the band table is tiny (one
+    // row per vector per band), so one side broadcasts — no shuffle.
+    // Within-bucket pair space is bounded by the banding
+    // (∝ N²/2^bitsPerBand — the LSH guarantee).
     val bands = signs.select(col("vec_id"),
       explode(array((0 until nBands).map(g => struct(
         lit(g).as("band_id"),

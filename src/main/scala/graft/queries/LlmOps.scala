@@ -61,45 +61,58 @@ object LlmOps {
   /** MinHash-LSH candidate pairs over a (doc_id, toks) input: 8
     * minhashes in ONE aggregation (map-side partial min — the
     * seed-explode formulation shuffled 8× the rows), 4 bands × 2 rows,
-    * bucket equi-join on (band_id, band_key). Never all-pairs: the
-    * within-bucket pair count is bounded by the band collision
-    * probability, not the corpus size. Shared by `llm_minhash_lsh` and
-    * the Jaccard re-rank (`llm_ngram_jaccard`), whose candidates must
-    * come from here — a (lang, length-bucket) block key grows linearly
-    * with the corpus and its pair space quadratically (round-2 VERDICT
-    * "What's wrong" #6).
+    * within-bucket pair expansion. Never all-pairs: the within-bucket
+    * pair count is bounded by the band collision probability, not the
+    * corpus size. Shared by `llm_minhash_lsh` and the Jaccard re-rank
+    * (`llm_ngram_jaccard`), whose candidates must come from here — a
+    * (lang, length-bucket) block key grows linearly with the corpus and
+    * its pair space quadratically (round-2 VERDICT "What's wrong" #6).
     *
-    * The 8 per-shingle hash values are the 8 disjoint 8-hex-char chunks
-    * of ONE sha256 — one hash invocation per shingle instead of 8
-    * salted ones (subexpression elimination shares the sha2 across the
-    * 8 min aggregates); chunks of a cryptographic hash are independent,
-    * which is all minhash needs. */
+    * Physical-plan choices (found via `.explain` on the round-2 shape):
+    *  - minhash values are NUMERIC (hex chunk → BIGINT via conv):
+    *    min(long) aggregates in HashAggregate, where min(string) fell
+    *    back to SortAggregate — two full sorts of the shingle rows.
+    *    Fixed-width lowercase hex sorts identically to its numeric
+    *    value, so the minima are unchanged.
+    *  - the 8 values are the 8 disjoint 8-hex-char chunks of ONE sha256
+    *    per shingle (subexpression elimination shares the sha2 across
+    *    the 8 aggregates); chunks of a cryptographic hash are
+    *    independent, which is all minhash needs.
+    *  - candidate pairs come from a bucket self-join on the numeric
+    *    (band_id, k1, k2) key: the band table is tiny (4 rows per doc),
+    *    so Spark broadcasts one side — no shuffle at all for the join.
+    *    (A collect_set-per-bucket + in-row pair expansion variant was
+    *    measured SLOWER here: it trades the cheap broadcast join for an
+    *    extra hash shuffle plus interpreted array lambdas.) */
   private def minhashCandidates(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val shing = docs.select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
     val mhAggs = (0 until 8).map(j =>
-      min(substring(sha2(col("sh"), 256), 1 + 8 * j, 8)).as(s"h$j"))
+      min(conv(substring(sha2(col("sh"), 256), 1 + 8 * j, 8), 16, 10)
+        .cast("long")).as(s"h$j"))
     val mh8 = shing.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
     val bands = mh8.select(col("doc_id"),
       explode(array((0 until 4).map(b => struct(
-        lit(b).as("band_id"),
-        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("band_key"))): _*)).as("bs"))
+        lit(b).as("band_id"), col(s"h${2 * b}").as("k1"),
+        col(s"h${2 * b + 1}").as("k2"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band_id").as("band_id"),
-        col("bs.band_key").as("band_key"))
-    val a = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band_id", "band_key"))
+        col("bs.k1").as("k1"), col("bs.k2").as("k2"))
+    val a = bands.select(col("band_id"), col("k1"), col("k2"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band_id"), col("k1"), col("k2"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_id", "k1", "k2"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** DuckDB CTE chain equivalent to [[minhashCandidates]]; expects a
-    * `docs(doc_id, toks)` CTE in scope, defines `cand(doc_a, doc_b)`. */
+  /** DuckDB CTE chain equivalent to [[minhashCandidates]] (self-join
+    * formulation — same result set); expects a `docs(doc_id, toks)` CTE
+    * in scope, defines `cand(doc_a, doc_b)`. */
   private val lshCandidateCtes = {
     val mhCols = (0 until 8).map(j =>
-      s"min(substr(sha256(sh), ${1 + 8 * j}, 8)) AS h$j").mkString(", ")
+      s"min(CAST('0x' || substr(sha256(sh), ${1 + 8 * j}, 8) AS BIGINT)) AS h$j")
+      .mkString(", ")
     val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band_id, h${2 * b} || h${2 * b + 1} AS band_key FROM mh")
+      s"SELECT doc_id, $b AS band_id, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM mh")
       .mkString(" UNION ALL ")
     s"""shing AS (
     |  $shingleSql
@@ -110,7 +123,7 @@ object LlmOps {
     |  $bandRows
     |), cand AS (
     |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    |  FROM bands a JOIN bands b USING (band_id, band_key)
+    |  FROM bands a JOIN bands b USING (band_id, k1, k2)
     |  WHERE a.doc_id < b.doc_id
     |)""".stripMargin
   }
