@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Timing probe: runs each named query `iters` times (noop sink, like
+  * Bench) and prints every iteration's seconds. Iteration 1 minus the
+  * steady-state tail isolates the fixed planning/codegen cost from the
+  * repeatable data-path cost — the split that decides whether a slow
+  * bench row needs a better plan or is pure per-query overhead.
+  *
+  * Run: sbt "runMain graft.Probe <sfDir> <iters> <query ...>" */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val iters = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try Tables.nation(spark, sfDir).groupBy("n_regionkey").count()
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val ts = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$n%-28s ${ts.map(t => f"$t%6.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

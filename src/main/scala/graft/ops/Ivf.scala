@@ -46,12 +46,31 @@ object Ivf {
     * Seeds = k lowest-id vectors; `iterations` Lloyd refinements. */
   def build(embeddings: DataFrame, k: Int, iterations: Int = 1)
       : (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    // pre-partition by vec_id: the k×N assign loop is the build's heavy
+    // narrow stage and the per-vector argmin aggregation reuses this
+    // partitioning (single-row-group test files otherwise leave the
+    // whole loop on one task)
     val vectors = embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding_d"))
-    val seedIds = vectors.select("vec_id").orderBy("vec_id").limit(k)
-    var centroids = vectors.join(seedIds, Seq("vec_id"), "left_semi")
-      .withColumn("cell", row_number().over(Window.orderBy("vec_id")) - 1)
-      .select(col("cell"), col("embedding_d").as("centroid"))
+      .repartition(col("vec_id"))
+    // seeds collected to the driver: the coarse quantizer is bounded by
+    // k rows BY DESIGN (it is broadcast everywhere downstream), so a
+    // k-row collect is scale-safe and replaces the former semi-join +
+    // global row_number window — two whole stages — with one tiny job
+    val seedRows = vectors.orderBy("vec_id").limit(k).collect()
+    val seedData = seedRows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(i, r.getSeq[Double](1))
+    }
+    val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    var centroids = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(seedData: _*)), centroidSchema)
     var assigned = assign(vectors, centroids)
     (1 to iterations).foreach { _ =>
       // exact per-(cell, position) means via DECIMAL sums → deterministic

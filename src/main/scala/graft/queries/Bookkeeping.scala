@@ -79,7 +79,6 @@ object Bookkeeping {
       Tables.orders(s, d)
         .join(live, col("o_custkey") === col("c_custkey"), "left_semi")
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n_live"))
-        .orderBy("o_orderstatus")
     },
 
     // P3 complement / T4 victim selection: allDbs ∖ retained (left anti,
@@ -123,7 +122,6 @@ object Bookkeeping {
           epochS(col("o_orderdate")).as("imported_at"),
           row_number().over(w).as("rn"))
         .where(col("rn") <= 2)
-        .orderBy("o_custkey", "rn")
     },
 
     // P5 + H3: skip-if-unchanged — an import whose digest equals the
@@ -152,7 +150,6 @@ object Bookkeeping {
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_imports"),
           count(when(col("feed_digest") === col("prev_digest"), 1)).as("n_skipped"))
-        .orderBy("o_custkey")
     },
 
     // H3: composite digest — digest of the ordered concatenation of
@@ -181,7 +178,6 @@ object Bookkeeping {
               array_sort(collect_list(struct(col("o_orderkey"), col("d")))),
               x => x.getField("d")), ""), 256), 1, 6).as("feed_digest"),
           count(lit(1)).as("n_parts"))
-        .orderBy("o_custkey")
     },
   )
 }

@@ -40,7 +40,6 @@ object Clean {
         .agg(count(lit(1)).as("n_rows"),
           count(when(col("l_discount") > 0.06, 1)).as("n_defaulted"),
           sum(round(fixed * 1000).cast("long")).as("disc_milli"))
-        .orderBy("l_returnflag")
     },
 
     // C3 --drop-errs: unrecoverable rows dropped by validity predicate
@@ -62,7 +61,6 @@ object Clean {
         .agg(count(lit(1)).as("n_kept"),
           min("l_quantity").cast("long").as("min_qty"),
           max("l_quantity").cast("long").as("max_qty"))
-        .orderBy("l_linestatus")
     },
 
     // C4 --check-null-coords: (0,0)/null coordinates are errors
@@ -97,7 +95,6 @@ object Clean {
         .agg(count(lit(1)).as("n_valid"),
           min("lat").cast("long").as("min_lat"),
           max("lon").cast("long").as("max_lon"))
-        .orderBy("l_returnflag")
     },
 
     // C9 --minimize-stoptimes: detect constant-headway runs per trip via
@@ -156,7 +153,6 @@ object Clean {
         .agg((count(lit(1)) + 1).as("n_trips"),
           min("dep").as("first_dep"), max("dep").as("last_dep"))
         .where(col("n_trips") >= 3)
-        .orderBy("user_id", "run_id")
     },
 
     // C10 --delete-orphans: cascade-delete entities referencing missing
@@ -182,7 +178,6 @@ object Clean {
         .join(validOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_survivors"))
-        .orderBy("l_returnflag")
     },
 
     // C11 --remove-red-agencies: merge entities equal on all attributes,
@@ -218,7 +213,6 @@ object Clean {
         .join(broadcast(remap), col("l_partkey") === col("p_partkey"))
         .groupBy("canonical")
         .agg(max("group_size").as("group_size"), count(lit(1)).as("n_lines"))
-        .orderBy("canonical")
     },
 
     // C12 --remove-red-routes: same merge family on a second entity;
@@ -295,7 +289,6 @@ object Clean {
       sig.groupBy("dsig")
         .agg(min("o_custkey").as("canonical"),
           count(lit(1)).as("n_services"), max("n_dates").as("n_dates"))
-        .orderBy("canonical")
     },
 
     // C14 --remove-red-shapes: identical polylines merged
@@ -315,7 +308,7 @@ object Clean {
         |       count(*) - count(DISTINCT ssig) AS n_merged
         |FROM sig
         |""") { (s, d) =>
-      val sig = Tables.lineitem(s, d)
+      val sig = fanout(Tables.lineitem(s, d), col("l_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           concat(col("l_partkey").cast("string"), lit(","),
@@ -363,7 +356,6 @@ object Clean {
         .join(broadcast(remap), col("o_custkey") === col("c_custkey"))
         .groupBy("canonical")
         .agg(max("group_size").as("group_size"), count(lit(1)).as("n_orders"))
-        .orderBy("canonical")
     },
 
     // C16 --remove-red-trips: trips identical in (route, service,
@@ -386,7 +378,7 @@ object Clean {
         |GROUP BY tsig
         |ORDER BY canonical
         |""") { (s, d) =>
-      val st = Tables.lineitem(s, d)
+      val st = fanout(Tables.lineitem(s, d), col("l_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_suppkey"), col("l_quantity"), col("l_discount"),
           concat_ws(":",
@@ -400,7 +392,6 @@ object Clean {
           x => x.getField("stp")), "|"), 256), 1, 8).as("tsig"))
       sig.groupBy("tsig")
         .agg(min("l_orderkey").as("canonical"), count(lit(1)).as("n_trips"))
-        .orderBy("canonical")
     },
   )
 }

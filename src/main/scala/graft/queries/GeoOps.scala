@@ -62,7 +62,6 @@ object GeoOps {
       val (assign, centroids) = graft.ops.Ivf.build(e, k = 8)
       graft.ops.Ivf.search(s, e, assign, centroids,
         e.where(col("vec_id") < 8), k = 10, nprobe = 2)
-        .orderBy("qid", "rank")
     },
 
     // C7 --min-shapes distributed: Douglas-Peucker per shape via
@@ -73,7 +72,7 @@ object GeoOps {
       doc = "Douglas-Peucker polyline simplification per shape group") { (s, d) =>
       import s.implicits._
       import graft.gtfs.Geo
-      Tables.lineitem(s, d)
+      fanout(Tables.lineitem(s, d), col("l_orderkey"))
         .select(col("l_orderkey").as("shape_id"), col("l_linenumber").as("seq"),
           ((col("l_partkey") % 100) / 10.0).as("lat"),
           (col("l_linenumber") * 1.0).as("lon"))
@@ -85,7 +84,6 @@ object GeoOps {
           Iterator.single((sid, pts.length, simplified.length))
         }
         .toDF("shape_id", "n_before", "n_after")
-        .orderBy("shape_id")
     },
   )
 }

@@ -133,6 +133,13 @@ object LlmOps {
     * operators produce non-empty, checkable candidate sets. */
   private def corpus(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
+    // deliberately NO fanout here: the LSH self-join dedups the whole
+    // signature pipeline via exchange reuse on the groupBy(doc_id)
+    // exchange, and the sha256 partial aggregation below it must stay
+    // below that exchange to be computed once. Fanout variants measured
+    // at sf0.1: none 2.6 s, fanout(doc_id) 6.3 s (groupBy exchange
+    // eliminated → signatures computed twice), fanout(doc_id, text)
+    // 3.6 s (extra shuffle + AQE barrier beat the parallelism gain).
     docs.unionByName(docs.select(
       (col("doc_id") + 1000000).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text")))
@@ -167,7 +174,6 @@ object LlmOps {
         .groupBy(substring(sha2(col("text"), 256), 1, 12).as("text_digest"))
         .agg(min("doc_id").as("canonical"), count(lit(1)).as("n_docs"),
           min("n_chars").cast("long").as("n_chars"))
-        .orderBy("canonical")
     },
 
     // MinHash-LSH banded near-dup candidates: shingle → 8 salted
@@ -185,7 +191,7 @@ object LlmOps {
       val docs = corpus(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
-      minhashCandidates(docs).orderBy("doc_a", "doc_b")
+      minhashCandidates(docs)
     },
 
     // SimHash: 16-bit signature from per-token hash nibbles (±1 votes per
@@ -202,7 +208,7 @@ object LlmOps {
         |FROM toks GROUP BY doc_id
         |ORDER BY doc_id
         |""") { (s, d) =>
-      val toks = Tables.documents(s, d)
+      val toks = fanout(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .select(col("doc_id"), substring(sha2(col("t"), 256), 1, 16).as("h"))
       val bitCols = (0 until 16).map { j =>
@@ -211,7 +217,6 @@ object LlmOps {
       }
       toks.groupBy("doc_id")
         .agg(concat(bitCols: _*).as("simhash"))
-        .orderBy("doc_id")
     },
 
     // n-gram Jaccard re-rank on MinHash-LSH candidates: the candidate
@@ -257,7 +262,6 @@ object LlmOps {
           floor(lit(1000.0) * inter / (size(col("sha_")) + size(col("shb_")) - inter))
             .cast("long").as("jacc_milli"))
         .where(col("jacc_milli") >= 100)
-        .orderBy("doc_a", "doc_b")
     },
 
     // Embedding-cosine near-dup: pairs within the coarse cell (label)
@@ -294,7 +298,6 @@ object LlmOps {
           floor(lit(1000.0) * dotScaled(s, "ea", "eb") /
             (col("na") * col("nb"))).cast("long").as("cos_milli"))
         .where(col("cos_milli") >= 280)
-        .orderBy("vec_a", "vec_b")
     },
 
     // Random-hyperplane (SimHash-for-vectors) cosine LSH: the CELL-FREE
@@ -367,7 +370,6 @@ object LlmOps {
           floor(lit(1000.0) * dotScaled(s, "ea", "eb") /
             (col("na") * col("nb"))).cast("long").as("cos_milli"))
         .where(col("cos_milli") >= 250)
-        .orderBy("vec_a", "vec_b")
     },
 
     // Brute-force cosine/dot top-k: the ANN correctness baseline. The
@@ -399,7 +401,6 @@ object LlmOps {
           dotScaled(s, "qe", "ce").as("dot_scaled"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 10)
-        .orderBy("qid", "rank")
     },
 
     // IVF-style ANN: the coarse quantizer cell (label) bounds the
@@ -432,7 +433,6 @@ object LlmOps {
           dotScaled(s, "qe", "ce").as("dot_scaled"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
-        .orderBy("qid", "rank")
     },
 
     // Language-ID: function-word n-gram heuristic (stopword hit ratio)
@@ -462,7 +462,6 @@ object LlmOps {
             .otherwise("other").as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang", "predicted")
     },
 
     // Quality scoring: token counts, stopword ratio, average token
@@ -495,7 +494,6 @@ object LlmOps {
           floor(lit(1000.0) * (col("n_chars_m") - col("n_tokens") + 1) / col("n_tokens"))
             .cast("long").as("avg_tok_len_milli"),
           when(col("n_tokens").between(20, 80), "good").otherwise("flag").as("bucket"))
-        .orderBy("doc_id")
     },
 
     // Token counting: whitespace tokens + a BPE-ish regex tokenizer
@@ -514,7 +512,6 @@ object LlmOps {
           size(split(col("text"), " ")).as("ws_tokens"),
           size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
             .as("re_tokens"))
-        .orderBy("doc_id")
     },
 
     // Document fingerprinting: bottom-3 sketch of shingle hashes
@@ -543,7 +540,7 @@ object LlmOps {
         |GROUP BY doc_id
         |ORDER BY doc_id
         |""") { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = fanout(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
       docs
@@ -552,7 +549,6 @@ object LlmOps {
         .groupBy("doc_id")
         .agg(array_join(slice(array_sort(collect_set(col("h"))), 1, 3), "-")
           .as("fingerprint"))
-        .orderBy("doc_id")
     },
 
     // Nested/JSON column extraction over events.props.
@@ -571,7 +567,6 @@ object LlmOps {
       Tables.events(s, d)
         .groupBy(col("event_type"), (k % 7).as("k_mod"))
         .agg(count(lit(1)).as("n_events"), sum(k).as("k_sum"))
-        .orderBy("event_type", "k_mod")
     },
 
     // Multimodal plumbing: opaque binary column + typed metadata as
@@ -596,7 +591,6 @@ object LlmOps {
           length(col("blob")).cast("long").as("byte_len"),
           lower(hex(substring(col("blob"), 1, 8))).as("header_hex"),
           lit("text/plain").as("mime"))
-        .orderBy("doc_id")
     },
   )
 }

@@ -44,7 +44,6 @@ object Views {
       .agg(
         count(lit(1)).as("n_lines"),
         sumCents(col("l_extendedprice")).as("revenue_cents"))
-      .orderBy("r_name", "o_orderstatus")
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -97,7 +96,6 @@ object Views {
       base.unionByName(added)
         .join(removed, Seq("service_id", "svc_date"), "left_anti")
         .select(col("service_id"), date_format(col("svc_date"), "yyyy-MM-dd").as("svc_date"))
-        .orderBy("service_id", "svc_date")
     },
 
     // V2 flagship star join (see v2Entry) with an oracle.
@@ -161,7 +159,6 @@ object Views {
       g.select(col("event_id"), col("gtfs_time"),
         (anchorNoon - 43200 + parsed).as("dep_epoch"),
         when(p.getItem(0).cast("long") >= 24, 1).otherwise(0).as("next_day"))
-        .orderBy("event_id")
     },
 
     // V3: frequency expansion — trips in frequencies.txt are replicated
@@ -188,7 +185,6 @@ object Views {
         // half-open [start, end): stop at end-1 (sequence is inclusive)
         .select(col("event_id"),
           explode(expr("sequence(start_s, start_s + 1800 - 1, headway_s)")).as("dep_s"))
-        .orderBy("event_id", "dep_s")
     },
 
     // V4: connections — consecutive stop_time pairs per trip become
@@ -217,7 +213,6 @@ object Views {
           epochS(col("ts")).as("dep_epoch"),
           lead(epochS(col("ts")), 1).over(w).as("arr_epoch"))
         .where(col("to_event").isNotNull)
-        .orderBy("user_id", "dep_epoch", "from_event")
     },
 
     // V5: shapes_aggregated — ordered points per shape folded into one
@@ -236,7 +231,7 @@ object Views {
         |GROUP BY l_orderkey
         |ORDER BY shape_id
         |""") { (s, d) =>
-      Tables.lineitem(s, d)
+      fanout(Tables.lineitem(s, d), col("l_orderkey"))
         .select(col("l_orderkey").as("shape_id"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           concat(col("l_partkey").cast("string"), lit(","),
@@ -249,7 +244,6 @@ object Views {
               array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey"),
                 col("l_suppkey"), col("pt")))),
               x => x.getField("pt")), ";"), 256), 1, 6).as("line_digest"))
-        .orderBy("shape_id")
     },
 
     // V6: stats_by_route_date — arrivals/departures counts grouped by
@@ -282,7 +276,6 @@ object Views {
         .agg(sum("n_lines").as("n_events"),
           count(lit(1)).as("n_trips"),
           sum("cents").as("revenue_cents"))
-        .orderBy("route_id", "svc_month")
     },
 
     // V7: stats_active_trips_by_hour — trips whose [start, end] interval
@@ -310,7 +303,6 @@ object Views {
         .select(explode(expr("sequence(start_s div 3600, end_s div 3600, 1)")).as("hour_bucket"))
         .groupBy("hour_bucket")
         .agg(count(lit(1)).as("n_active"))
-        .orderBy("hour_bucket")
     },
 
     // V8: translations — generic lookup join on
@@ -342,7 +334,6 @@ object Views {
         .join(broadcast(tr), col("c_nationkey") === col("record_id"))
         .groupBy("language", "translation")
         .agg(count(lit(1)).as("n_customers"))
-        .orderBy("language", "translation")
     },
   )
 }

@@ -1,9 +1,22 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 package object queries {
+  /** Spread the next compute-heavy narrow stage across the cluster. The
+    * driver's test parquet files are single-row-group, so a scan is ONE
+    * input split and every narrow transform above it (explode+hash,
+    * per-group signature building, distance loops) runs in a single
+    * task regardless of local[n]. One hash shuffle of the small base
+    * table on the downstream grouping key spreads that work across all
+    * cores; the following groupBy/window on the same key then reuses
+    * this partitioning (EnsureRequirements inserts no second exchange).
+    * At production scale — many files, many row groups — the scan
+    * splits on its own and this becomes the co-location the downstream
+    * aggregation wants anyway, not an extra pass. */
+  def fanout(df: DataFrame, key: Column*): DataFrame = df.repartition(key: _*)
+
   /** Epoch seconds as BIGINT. Parquet timestamps arrive as TIMESTAMP_NTZ
     * in Spark 4 (inferTimestampNTZ); with the session tz pinned to UTC the
     * NTZ→TZ cast is the identity, so this matches DuckDB's
