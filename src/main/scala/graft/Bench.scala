@@ -25,9 +25,29 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
 
-    // Warmup: a real scan+shuffle on the smallest table, untimed.
-    try run((s, d) => Tables.nation(s, d).groupBy("n_regionkey").count())
-    catch { case _: Throwable => () }
+    // Warmup, untimed: exercise the operator code paths the measured
+    // queries share — scan+hash agg, broadcast join, window, object
+    // hash agg (collect_list), semi join — on the 25-row nation table.
+    // This moves Janino's own JIT warmup and the first compile of each
+    // generated-code shape out of the first measured queries (the
+    // alphabetically-first c1x block otherwise absorbs it).
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      run((s, d) => Tables.nation(s, d).groupBy("n_regionkey").count())
+      run((s, d) => {
+        val n = Tables.nation(s, d)
+        val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+        n.join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(n.select(col("n_nationkey").as("k")),
+            col("n_nationkey") === col("k"), "left_semi")
+          .withColumn("rn", row_number().over(w))
+          .groupBy("n_regionkey")
+          .agg(collect_list(struct(col("rn"), col("n_name"))).as("xs"),
+            min(struct(col("rn"), col("n_nationkey"))).as("m"))
+      })
+    } catch { case _: Throwable => () }
 
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -47,11 +47,10 @@ object LlmOps {
 
   private def dotSql(a: String, b: String): String = DOT.format(a, b, a)
 
-  /** 3-token shingles of a lowercase space-separated text column. */
+  /** 3-token shingles of a lowercase space-separated text column
+    * (shared with the winnowing op — see [[graft.ops.Winnow]]). */
   private def shingles(tokens: Column): Column =
-    transform(sequence(lit(1), size(tokens) - 2),
-      i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
-        element_at(tokens, i + 2)))
+    graft.ops.Winnow.shingles(tokens)
 
   private val shingleSql = // per-doc shingle rows; expects `toks` list col
     """SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
@@ -87,6 +86,10 @@ object LlmOps {
   private def minhashCandidates(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val shing = docs.select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
+    // (A hash-distinct-shingles-once-and-join-back variant — shingles
+    // repeat ~10× across docs — was measured at 5.6+ s vs 2.6 s here:
+    // the two string-keyed shuffles of the full shingle stream cost far
+    // more than the saved sha256 work. In-aggregate hashing stays.)
     val mhAggs = (0 until 8).map(j =>
       min(conv(substring(sha2(col("sh"), 256), 1 + 8 * j, 8), 16, 10)
         .cast("long")).as(s"h$j"))
@@ -549,6 +552,96 @@ object LlmOps {
         .groupBy("doc_id")
         .agg(array_join(slice(array_sort(collect_set(col("h"))), 1, 3), "-")
           .as("fingerprint"))
+    },
+
+    // Winnowing (MOSS-style) fingerprints: the min shingle-hash of every
+    // sliding window of 4 consecutive shingles, deduplicated per doc.
+    // Guarantees any sufficiently long match between two docs shares a
+    // fingerprint, with ~1/4 the stored hashes of full fingerprinting.
+    // The window partitions by doc_id (bounded by document length) —
+    // never a data-scale sort.
+    "llm_winnow_fingerprint" -> QueryDef(
+      doc = "winnowing: per-doc distinct sliding-window-min shingle hashes",
+      oracle = s"""
+        |WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), shing AS (
+        |  SELECT doc_id, i, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        |  FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+        |  WHERE len(toks) >= 3
+        |), h AS (
+        |  SELECT doc_id, i, CAST('0x' || substr(sha256(sh), 1, 12) AS BIGINT) AS hv
+        |  FROM shing
+        |), wmin AS (
+        |  SELECT doc_id, i,
+        |         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM h
+        |), sel AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4)
+        |SELECT doc_id, count(*) AS n_fp,
+        |       substr(sha256(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)), 1, 12)
+        |         AS fp_digest
+        |FROM sel GROUP BY doc_id
+        |""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+      // graft.ops.Winnow: window-min per 4-shingle window, collect_set
+      // absorbing the per-doc DISTINCT, one shuffle total (the groupBy
+      // reuses the window's doc_id partitioning)
+      graft.ops.Winnow.fingerprints(docs, window = 4)
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          substring(sha2(array_join(transform(
+            col("fps"), x => x.cast("string")), ","), 256), 1, 12).as("fp_digest"))
+    },
+
+    // Deterministic stratified sampling: keep a per-stratum (language)
+    // rate of documents, keyed on a content hash — map-only (the filter
+    // rides the scan: no shuffle, no RNG state, stable across retries
+    // and cluster layouts; the rate table is bounded config, not data).
+    "llm_sample_stratified" -> QueryDef(
+      doc = "per-language deterministic hash sampling (map-only)",
+      oracle = """
+        |SELECT doc_id, lang
+        |FROM documents
+        |WHERE CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) % 100
+        |      < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+        |""") { (s, d) =>
+      val bucket = conv(substring(sha2(col("text"), 256), 1, 8), 16, 10)
+        .cast("long") % 100
+      Tables.documents(s, d)
+        .where(bucket < when(col("lang") === "en", 10).otherwise(40))
+        .select("doc_id", "lang")
+    },
+
+    // Heavy hitters: top-10 tokens per language. Two-level aggregation
+    // (map-side partial count combine) + per-stratum rank; Spark's
+    // WindowGroupLimit caps per-partition window state at k once the
+    // rank filter is pushed down. Strata are bounded (languages); for
+    // unbounded strata the scale path is partial per-partition top-k
+    // merged in a final agg (or a count-min sketch for approximate).
+    "llm_top_tokens" -> QueryDef(
+      doc = "heavy hitters: top-10 tokens per language",
+      oracle = """
+        |WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        |), cnt AS (
+        |  SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2
+        |)
+        |SELECT lang, token, n, rank FROM (
+        |  SELECT lang, token, n,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n DESC, token) AS rank
+        |  FROM cnt)
+        |WHERE rank <= 10
+        |ORDER BY lang, rank
+        |""") { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(desc("n"), asc("token"))
+      cnt.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
     },
 
     // Nested/JSON column extraction over events.props.

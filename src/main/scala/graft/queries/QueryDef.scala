@@ -7,7 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Conventions that make the hash-compare sound (see SURVEY.md §5):
   *   - every computed column is aliased identically in Spark and SQL;
-  *   - results end in an ORDER BY over a unique key combination;
+  *   - the Spark side emits NO final orderBy (the driver's checker
+  *     sorts rows itself and the bench writes to a noop sink, so a
+  *     trailing sort is a pure RangePartitioning sample job + shuffle +
+  *     sort cost) — except where orderBy+limit IS the semantics (top-k);
+  *     oracle SQL may keep ORDER BY for readability;
   *   - no raw timestamp outputs (epoch BIGINT / DATE / string instead);
   *   - double aggregation goes through exact integer-cents or
   *     DECIMAL(38,12) sums so the result is order-independent and
