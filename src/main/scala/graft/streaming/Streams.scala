@@ -92,6 +92,20 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup — the ingest-time flavor of
+    * `llm_dedup_exact`: keep the first document per content digest seen
+    * within the watermark horizon. `dropDuplicatesWithinWatermark`
+    * bounds the dedup state to O(docs per horizon) — digests older than
+    * the watermark are evicted — so state never grows with the corpus;
+    * the batch full-history dedup remains the periodic compaction pass,
+    * this filter keeps the hot path clean between compactions. Expects
+    * (ts TIMESTAMP, text STRING, …) rows; passes all columns through. */
+  def dedupDocStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_digest", substring(sha2(col("text"), 256), 1, 12))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_digest")
+
   /** Drain a feed-drop directory once (AvailableNow) into a parquet
     * target — the streaming flavor of the S2→S3→K1 path. Returns after
     * the drain completes. */

@@ -53,6 +53,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first doc per digest within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.dedupDocStream(docs, "1 hour")
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // same text twice within the horizon → second dropped; distinct
+      // text passes
+      mem.addData((t("2024-01-01 10:00:00"), 1L, "the quick brown fox"),
+        (t("2024-01-01 10:10:00"), 2L, "the quick brown fox"),
+        (t("2024-01-01 10:20:00"), 3L, "an entirely different doc"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_docs").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+      // after the watermark evicts the digest, the same text is admitted
+      // again (state is horizon-bounded, not corpus-bounded)
+      mem.addData((t("2024-01-01 14:00:00"), 4L, "advance watermark"))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 14:10:00"), 5L, "the quick brown fox"))
+      q.processAllAvailable()
+      val ids2 = spark.table("dedup_docs").select("doc_id").as[Long].collect().toSet
+      assert(ids2.contains(5L), s"re-admitted doc missing: $ids2")
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based session windows via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
