@@ -73,12 +73,15 @@ object Ivf {
         java.util.Arrays.asList(seedData: _*)), centroidSchema)
     var assigned = assign(vectors, centroids)
     (1 to iterations).foreach { _ =>
-      // exact per-(cell, position) means via DECIMAL sums → deterministic
+      // exact per-(cell, position) means: DECIMAL sum (order-independent)
+      // cast to double BEFORE the division, so the mean is one IEEE
+      // double division — engine-portable (decimal division scale rules
+      // differ across engines; double division does not)
       val means = assigned
         .select(col("cell"), posexplode(col("embedding_d")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
-        .agg((sum(col("v").cast("decimal(38,12)")) / count(lit(1)))
-          .cast("double").as("m"))
+        .agg((sum(col("v").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("m"))
       centroids = means
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))

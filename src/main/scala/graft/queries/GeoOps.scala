@@ -52,12 +52,83 @@ object GeoOps {
     },
 
     // IVF ANN with a COMPUTED coarse quantizer (graft.ops.Ivf): build
-    // the index (deterministic seeds + Lloyd step), probe 2 cells per
-    // query, exact re-rank. Rows-only (the quantizer is iterative —
-    // not SQL-expressible); recall vs brute force is asserted in
-    // IvfSpec.
-    "llm_ann_ivf_centroids" -> QueryDef.noOracle(
-      doc = "IVF ANN: computed centroids, nprobe equi-join, exact re-rank") { (s, d) =>
+    // the index (deterministic seeds + one Lloyd step), probe 2 cells
+    // per query, exact re-rank. With fixed seeds and a fixed iteration
+    // count the whole build is deterministic relational algebra, so it
+    // IS SQL-expressible — the oracle below replays it in DuckDB:
+    //  - l2 = list_reduce of the per-dimension squared diffs, the same
+    //    left-fold order as the codegen'd l2_sq (0.0+t1 == t1, so the
+    //    missing explicit init is harmless);
+    //  - argmin = row_number over (d2, cell) == Spark min(struct);
+    //  - Lloyd mean = CAST(DECIMAL(38,12) sum AS DOUBLE)/count — one
+    //    IEEE double division on both engines (double→DECIMAL casts
+    //    round half-away-from-zero in both);
+    //  - final rank by exact scaled-int dot product.
+    "llm_ann_ivf_centroids" -> QueryDef(
+      doc = "IVF ANN: computed centroids, nprobe equi-join, exact re-rank",
+      oracle = {
+        def l2(a: String, b: String) =
+          s"list_reduce([($a[i] - $b[i]) * ($a[i] - $b[i]) " +
+            s"FOR i IN range(1, len($a) + 1)], (x, y) -> x + y)"
+        s"""
+        |WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+        |), c0 AS (
+        |  SELECT s.cell, v.e AS centroid FROM seeds s JOIN v USING (vec_id)
+        |), a0 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c0.cell,
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |                              ORDER BY ${l2("v.e", "c0.centroid")}, c0.cell) AS rn
+        |    FROM v CROSS JOIN c0)
+        |  WHERE rn = 1
+        |), mean1 AS (
+        |  SELECT a0.cell, i AS pos,
+        |         CAST(sum(CAST(v.e[i] AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+        |  FROM a0 JOIN v USING (vec_id),
+        |       unnest(generate_series(1, len(v.e))) AS t(i)
+        |  GROUP BY a0.cell, i
+        |), c1 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS centroid FROM mean1 GROUP BY cell
+        |), a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c1.cell,
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |                              ORDER BY ${l2("v.e", "c1.centroid")}, c1.cell) AS rn
+        |    FROM v CROSS JOIN c1)
+        |  WHERE rn = 1
+        |), q AS (
+        |  SELECT e.vec_id AS qid, e.embedding AS qe,
+        |         [CAST(x AS DOUBLE) FOR x IN e.embedding] AS qe_d
+        |  FROM embeddings e WHERE e.vec_id < 8
+        |), probed AS (
+        |  SELECT qid, qe, cell FROM (
+        |    SELECT q.qid, q.qe, c1.cell,
+        |           row_number() OVER (PARTITION BY q.qid
+        |                              ORDER BY ${l2("q.qe_d", "c1.centroid")}, c1.cell) AS rn
+        |    FROM q CROSS JOIN c1)
+        |  WHERE rn <= 2
+        |), cand AS (
+        |  SELECT e.vec_id AS cid, e.embedding AS ce, a1.cell
+        |  FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id
+        |), scored AS (
+        |  SELECT p.qid, c.cid,
+        |         CAST(${LlmOps.dotSql("p.qe", "c.ce")} AS BIGINT) AS dot_scaled
+        |  FROM probed p JOIN cand c USING (cell)
+        |)
+        |SELECT qid, cid, dot_scaled, rank FROM (
+        |  SELECT qid, cid, dot_scaled,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY dot_scaled DESC, cid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10
+        |ORDER BY qid, rank
+        |"""
+      }) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val (assign, centroids) = graft.ops.Ivf.build(e, k = 8)
       graft.ops.Ivf.search(s, e, assign, centroids,

@@ -45,7 +45,7 @@ object LlmOps {
       |          * CAST(floor(CAST(%s[i] AS DOUBLE)*1000000 + 0.5) AS BIGINT)
       |          FOR i IN range(1, len(%s) + 1)])""".stripMargin
 
-  private def dotSql(a: String, b: String): String = DOT.format(a, b, a)
+  private[queries] def dotSql(a: String, b: String): String = DOT.format(a, b, a)
 
   /** 3-token shingles of a lowercase space-separated text column
     * (shared with the winnowing op — see [[graft.ops.Winnow]]). */
