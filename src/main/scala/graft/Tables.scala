@@ -20,12 +20,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Lifetime note: entries pin their SparkSession until invalidate() —
+  // acceptable for the driver mains (one session per JVM) and the test
+  // suite (one shared session); a long-lived multi-session service
+  // should call invalidate(session) on session close. The cached file
+  // listing also goes stale if the parquet dir is REWRITTEN in place —
+  // call invalidate() after regenerating testdata.
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, sfDir, name),
       spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Drop cached relations — all of them, or one session's. */
+  def invalidate(session: SparkSession = null): Unit =
+    cache.keys.foreach { k =>
+      if (session == null || k._1 == session) cache.remove(k)
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

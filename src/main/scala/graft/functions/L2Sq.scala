@@ -32,12 +32,21 @@ case class L2SqExpr(left: Expression, right: Expression) extends BinaryExpressio
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_sq"
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    L2Sq.dist2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (L2Sq.nullOrMismatched(x, y)) null else L2Sq.dist2(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.L2Sq.dist2($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |if (graft.functions.L2Sq.nullOrMismatched($a, $b)) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.functions.L2Sq.dist2($a, $b);
+      |}
+      |""".stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): L2SqExpr = copy(left = newLeft, right = newRight)
@@ -45,9 +54,25 @@ case class L2SqExpr(left: Expression, right: Expression) extends BinaryExpressio
 
 object L2Sq {
 
-  /** Fused loop, called from generated code. Length = min(|a|, |b|),
-    * matching zip_with truncation semantics for equal-length inputs
-    * (embeddings are fixed-dim, so lengths always match in practice). */
+  /** NULL semantics matching the `aggregate(zip_with(a, b, …))` HOF this
+    * expression replaces: a null element poisons the sum to NULL, and
+    * mismatched lengths — which zip_with null-PADS rather than
+    * truncates — also yield NULL. Without this, a malformed vector got
+    * a finite-but-wrong distance and was silently assigned to a wrong
+    * IVF cell. */
+  def nullOrMismatched(a: ArrayData, b: ArrayData): Boolean = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    if (na != nb) return true
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Fused loop, called from generated code (only with equal-length,
+    * null-free inputs — see [[nullOrMismatched]]). */
   def dist2(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0d

@@ -11,8 +11,10 @@ final case class SuccessfulImport(dbName: String, importedAt: Long, feedDigest: 
 /** File-mode analog of the reference's PostgreSQL bookkeeping layer,
   * preserving its concurrency semantics (SURVEY.md §2.10):
   *
-  *  - T1 exclusive lock NOWAIT: an O_CREAT|O_EXCL lockfile — a second
-  *    importer fails fast instead of queueing (import.js:128-132);
+  *  - T1 exclusive lock NOWAIT: an OS file-region lock (FileChannel
+  *    tryLock) that dies with the process, like the reference's Postgres
+  *    EXCLUSIVE lock — a second importer fails fast instead of queueing,
+  *    and a crashed holder never wedges later runs (import.js:128-132);
   *  - T2/T5 transaction envelope + atomic publish: all bookkeeping
   *    mutations are staged in memory and committed by a single atomic
   *    rename of the meta file — the only publication point

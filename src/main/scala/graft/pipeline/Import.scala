@@ -175,8 +175,16 @@ object Import {
         if (cfg.postprocessSql.nonEmpty || hasPpDir) {
           registerViews(spark, dbPath)
           cfg.postprocessSql.foreach(execSql(spark, _))
+          // executables get the gtfs dir as argv[1]: the default stage's
+          // extraction dir when it ran, else the staged feed — an
+          // importStage override need not extract anything to
+          // tmpDir/extracted, and a stale extraction from a previous
+          // run must never be handed to this run's scripts
+          val gtfsDirForScripts =
+            if (cfg.importStage.isEmpty) cfg.tmpDir.resolve("extracted")
+            else staged
           runPostprocessingDir(spark, cfg.postprocessingDir,
-            cfg.tmpDir.resolve("extracted"), dbPath)
+            gtfsDirForScripts, dbPath)
         }
 
         // K2 + K4 + T5: stage the commit record, write the DSN file,
@@ -271,7 +279,14 @@ object Import {
           val code = proc.waitFor()
           if (code != 0) throw new IllegalStateException(
             s"postprocessing script ${f.getFileName} exited $code:\n$out")
-        }
+        } else
+          // fail LOUDLY: the file's content is already part of the feed
+          // digest (H3/P6), so silently skipping it would both lose the
+          // postprocessing and — because chmod +x changes no content —
+          // make the fix invisible to skip-if-unchanged forever
+          throw new IllegalStateException(
+            s"postprocessing.d entry ${f.getFileName} is neither *.sql " +
+              "nor executable — chmod +x it or rename it *.sql")
       }
     }
 

@@ -50,17 +50,30 @@ object JdbcSink {
   /** Load a feed into one schema per import — the reference's
     * per-import PostgreSQL *database* (import.js:246-247) mapped onto a
     * per-import *schema* of a long-lived target DB (L5 --schema,
-    * import.sh:128). Derby/PostgreSQL create the schema implicitly /
-    * via DDL on first table creation. */
+    * import.sh:128). The schema is created explicitly first: PostgreSQL
+    * does NOT create schemas implicitly on table creation (only Derby
+    * does, which is why the Derby-only test didn't catch it); an
+    * already-existing schema is tolerated so a retried import can
+    * proceed. */
   def loadFeedIntoSchema(feed: Map[String, DataFrame], target: JdbcTarget,
-      schema: String): Unit =
+      schema: String): Unit = {
+    try executeDdl(target, s"""CREATE SCHEMA "$schema"""")
+    catch { case _: java.sql.SQLException => () } // exists already (retry)
     feed.foreach { case (entity, df) =>
       writeTable(df, target, s"$schema.$entity")
     }
+  }
 
   /** T4 retention for the JDBC side: drop every table in the import's
     * schema (discovered via JDBC metadata — engine-portable), then the
-    * schema itself. Tolerates a schema that never existed. */
+    * schema itself. Tolerates a schema that never existed. The schema
+    * name is ESCAPED before use as a getTables pattern — '_' is a
+    * single-char wildcard in JDBC metadata patterns, and import schema
+    * names (gtfs_<ts>_<digest>) contain two of them; unescaped, the
+    * pattern could enumerate (and then DROP) tables of an unrelated
+    * schema differing only at a '_' position. DROP SCHEMA is attempted
+    * even when no tables were found, so an import that died between
+    * schema creation and first table load is still reaped. */
   def dropSchema(target: JdbcTarget, schema: String): Unit = {
     val conn =
       if (target.user.nonEmpty)
@@ -68,21 +81,24 @@ object JdbcSink {
       else DriverManager.getConnection(target.url)
     Using.resource(conn) { c =>
       val md = c.getMetaData
+      val esc = md.getSearchStringEscape
+      def pattern(s: String) =
+        s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
       // unquoted identifiers are case-folded per engine (Derby: upper)
       val candidates = Seq(schema, schema.toUpperCase(java.util.Locale.ROOT),
         schema.toLowerCase(java.util.Locale.ROOT)).distinct
       candidates.foreach { sc =>
-        val tables = Using.resource(md.getTables(null, sc, "%", Array("TABLE"))) { rs =>
+        val tables = Using.resource(
+          md.getTables(null, pattern(sc), "%", Array("TABLE"))) { rs =>
           Iterator.continually(rs).takeWhile(_.next())
             .map(_.getString("TABLE_NAME")).toList
         }
         tables.foreach { t =>
           Using.resource(c.createStatement())(_.execute(s"""DROP TABLE "$sc"."$t""""))
         }
-        if (tables.nonEmpty)
-          try Using.resource(c.createStatement())(
-            _.execute(s"""DROP SCHEMA "$sc" RESTRICT"""))
-          catch { case _: java.sql.SQLException => () } // PG: schema may hold non-tables
+        try Using.resource(c.createStatement())(
+          _.execute(s"""DROP SCHEMA "$sc" RESTRICT"""))
+        catch { case _: java.sql.SQLException => () } // absent, or PG non-table members
       }
     }
   }
@@ -98,4 +114,15 @@ object JdbcSink {
     Using.resource(DriverManager.getConnection(url)) { conn =>
       Using.resource(conn.createStatement())(_.execute(sql))
     }
+
+  /** DDL on the target's credentials (CREATE SCHEMA etc.). */
+  def executeDdl(target: JdbcTarget, sql: String): Unit = {
+    val conn =
+      if (target.user.nonEmpty)
+        DriverManager.getConnection(target.url, target.user, target.password)
+      else DriverManager.getConnection(target.url)
+    Using.resource(conn) { c =>
+      Using.resource(c.createStatement())(_.execute(sql))
+    }
+  }
 }

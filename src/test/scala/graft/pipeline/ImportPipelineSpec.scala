@@ -194,6 +194,22 @@ class ImportPipelineSpec extends SparkSpec {
     assert(r3.importSkipped)
   }
 
+  test("postprocessing.d entry that is neither .sql nor executable fails loudly") {
+    val root = Files.createTempDirectory("store-ppnx")
+    val feed = TestFeed.writeTo(Files.createTempDirectory("fppnx"))
+    val pp = Files.createTempDirectory("ppnx-scripts")
+    // forgot chmod +x — silently skipping would lose the postprocessing
+    // forever (content is already in the digest, so chmod alone never
+    // triggers a re-import)
+    Files.writeString(pp.resolve("20-fixup"), "#!/bin/sh\necho hi\n")
+    val e = intercept[IllegalStateException] {
+      Import.importGtfsAtomically(spark,
+        mkCfg(root, feed, "ppnx").copy(postprocessingDir = Some(pp),
+          now = () => 1700000650L))
+    }
+    assert(e.getMessage.contains("chmod"), e.getMessage)
+  }
+
   test("§2.11 postprocessing.d executes: sql → views, executables get the import dir") {
     val root = Files.createTempDirectory("store-ppx")
     val feed = TestFeed.writeTo(Files.createTempDirectory("fppx"))
