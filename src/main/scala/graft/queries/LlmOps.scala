@@ -131,6 +131,34 @@ object LlmOps {
     |)""".stripMargin
   }
 
+  /** DuckDB CTE chain equivalent to
+    * [[graft.ops.CosineLsh.candidates]](bitsPerBand = 6, nBands = 2)
+    * over `embeddings`: defines dims/signs/bands and `cand(vec_a, vec_b)`.
+    * Shared by `llm_cosine_lsh` and `llm_dedup_cluster`. */
+  private val cosineCandCtes: String = {
+    def bitSql(p: Int) =
+      s"(CASE WHEN sum(CASE WHEN substr(sha256(CAST(i AS VARCHAR)), ${p + 1}, 1) >= '8' " +
+        s"THEN vi ELSE -vi END) > 0 THEN '1' ELSE '0' END)"
+    val sums = (0 until 12).map(p => s"${bitSql(p)} AS b$p").mkString(", ")
+    val bandRows = (0 until 2).map(g =>
+      s"SELECT vec_id, $g AS band_id, " +
+        (0 until 6).map(j => s"b${6 * g + j}").mkString(" || ") +
+        " AS band_key FROM signs").mkString(" UNION ALL ")
+    s"""dims AS (
+    |  SELECT vec_id, i,
+    |         CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS vi
+    |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    |), signs AS (
+    |  SELECT vec_id, $sums FROM dims GROUP BY vec_id
+    |), bands AS (
+    |  $bandRows
+    |), cand AS (
+    |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    |  FROM bands a JOIN bands b USING (band_id, band_key)
+    |  WHERE a.vec_id < b.vec_id
+    |)""".stripMargin
+  }
+
   /** documents ∪ a perturbed copy (first token dropped, doc_id+1000000):
     * guarantees the corpus contains true near-duplicates so the dedup
     * operators produce non-empty, checkable candidate sets. */
@@ -319,29 +347,8 @@ object LlmOps {
     // band, the VERDICT target), NB=2.
     "llm_cosine_lsh" -> QueryDef(
       doc = "banded random-hyperplane LSH (2 bands × 6 planes, 64 buckets/band) + exact cosine re-rank",
-      oracle = {
-        def bitSql(p: Int) =
-          s"(CASE WHEN sum(CASE WHEN substr(sha256(CAST(i AS VARCHAR)), ${p + 1}, 1) >= '8' " +
-            s"THEN vi ELSE -vi END) > 0 THEN '1' ELSE '0' END)"
-        val sums = (0 until 12).map(p => s"${bitSql(p)} AS b$p").mkString(", ")
-        val bandRows = (0 until 2).map(g =>
-          s"SELECT vec_id, $g AS band_id, " +
-            (0 until 6).map(j => s"b${6 * g + j}").mkString(" || ") +
-            " AS band_key FROM signs").mkString(" UNION ALL ")
-        s"""
-        |WITH dims AS (
-        |  SELECT vec_id, i,
-        |         CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS vi
-        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
-        |), signs AS (
-        |  SELECT vec_id, $sums FROM dims GROUP BY vec_id
-        |), bands AS (
-        |  $bandRows
-        |), cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM bands a JOIN bands b USING (band_id, band_key)
-        |  WHERE a.vec_id < b.vec_id
-        |), v AS (
+      oracle = s"""
+        |WITH $cosineCandCtes, v AS (
         |  SELECT vec_id, embedding AS emb,
         |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
         |  FROM embeddings
@@ -355,7 +362,7 @@ object LlmOps {
         |)
         |WHERE cos_milli >= 250
         |ORDER BY vec_a, vec_b
-        |""" }) { (s, d) =>
+        |""") { (s, d) =>
       // rb=6 bits → 64 buckets per band (the scale knob), 2 bands for
       // recall; candidate generation shared with CosineLshSpec's
       // planted-near-dup recall property test
@@ -373,6 +380,50 @@ object LlmOps {
           floor(lit(1000.0) * dotScaled(s, "ea", "eb") /
             (col("na") * col("nb"))).cast("long").as("cos_milli"))
         .where(col("cos_milli") >= 250)
+    },
+
+    // Near-dup CLUSTER canonicalization — the step after candidate
+    // pairs in every real dedup pipeline: connect the pairs into
+    // clusters and elect min-id canonicals. Two rounds of min-label
+    // propagation over the (undirected + self-loop) edge list cover
+    // every cluster of diameter ≤ 2 — near-dup clusters are tiny-
+    // diameter in practice; production iterates the same join to a
+    // fixpoint (Pregel-style), each round = one shuffle on src.
+    "llm_dedup_cluster" -> QueryDef(
+      doc = "near-dup clusters: 2-round min-label propagation over LSH pairs",
+      oracle = s"""
+        |WITH $cosineCandCtes, verts AS (
+        |  SELECT vec_id FROM embeddings
+        |), edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM cand
+        |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM cand
+        |  UNION ALL SELECT vec_id AS src, vec_id AS dst FROM verts
+        |), r1 AS (
+        |  SELECT src, min(dst) AS l1 FROM edges GROUP BY src
+        |), r2 AS (
+        |  SELECT e.src, min(r1.l1) AS cluster
+        |  FROM edges e JOIN r1 ON r1.src = e.dst
+        |  GROUP BY e.src
+        |)
+        |SELECT src AS vec_id, cluster FROM r2
+        |ORDER BY vec_id
+        |""") { (s, d) =>
+      val cand = graft.ops.CosineLsh.candidates(
+        Tables.embeddings(s, d), bitsPerBand = 6, nBands = 2)
+      val verts = Tables.embeddings(s, d).select(col("vec_id"))
+      // symmetrize via ONE explode instead of a union of two selects —
+      // a union would re-evaluate the whole LSH candidate pipeline per
+      // branch (and edges feeds two consumers below: 4 evaluations);
+      // with one lineage, both consumers share the same exchange
+      val edges = cand.select(explode(array(
+          struct(col("vec_a").as("src"), col("vec_b").as("dst")),
+          struct(col("vec_b").as("src"), col("vec_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .unionByName(verts.select(col("vec_id").as("src"), col("vec_id").as("dst")))
+      val r1 = edges.groupBy("src").agg(min("dst").as("l1"))
+      edges.join(r1.withColumnRenamed("src", "dst"), Seq("dst"))
+        .groupBy("src").agg(min("l1").as("cluster"))
+        .select(col("src").as("vec_id"), col("cluster"))
     },
 
     // Brute-force cosine/dot top-k: the ANN correctness baseline. The
