@@ -426,6 +426,55 @@ object LlmOps {
         .select(col("src").as("vec_id"), col("cluster"))
     },
 
+    // Scalar (per-dimension min/max) int8 quantization of the embedding
+    // column — 4× storage compression for corpus-scale vector stores.
+    // The quantizer table is one row per DIMENSION (bounded, broadcast);
+    // encode/decode is map-only arithmetic (-, /, *, floor — no libm,
+    // so both engines agree bit-for-bit); the reconstruction-error sum
+    // uses per-dimension scaled-int errors (integer sum =
+    // order-independent).
+    "llm_embed_quantize" -> QueryDef(
+      doc = "int8 scalar quantization: per-dim min/max codes + exact error",
+      oracle = """
+        |WITH dims AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |), mm AS (
+        |  SELECT i, min(v) AS lo, max(v) AS hi FROM dims GROUP BY i
+        |), coded AS (
+        |  SELECT d.vec_id,
+        |         CAST(floor((d.v - mm.lo) / (mm.hi - mm.lo) * 255.0 + 0.5) AS BIGINT) AS code,
+        |         d.v, mm.lo, mm.hi
+        |  FROM dims d JOIN mm USING (i)
+        |), err AS (
+        |  SELECT vec_id, code,
+        |         CAST(floor(abs(v - (lo + code / 255.0 * (hi - lo))) * 1000000000) AS BIGINT)
+        |           AS e_nano
+        |  FROM coded
+        |)
+        |SELECT vec_id,
+        |       CAST(sum(e_nano) AS BIGINT) AS err_nano,
+        |       CAST(min(code) AS BIGINT) AS code_min,
+        |       CAST(max(code) AS BIGINT) AS code_max
+        |FROM err GROUP BY vec_id
+        |ORDER BY vec_id
+        |""") { (s, d) =>
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
+        .select(col("vec_id"), (col("pos0") + 1).as("i"), col("vf").cast("double").as("v"))
+      val mm = dims.groupBy("i").agg(min("v").as("lo"), max("v").as("hi"))
+      val code = floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 255.0 + 0.5)
+        .cast("long")
+      dims.join(broadcast(mm), Seq("i"))
+        .select(col("vec_id"), code.as("code"), col("v"), col("lo"), col("hi"))
+        .select(col("vec_id"), col("code"),
+          floor(abs(col("v") - (col("lo") + col("code") / 255.0 * (col("hi") - col("lo"))))
+            * 1000000000L).cast("long").as("e_nano"))
+        .groupBy("vec_id")
+        .agg(sum("e_nano").as("err_nano"),
+          min("code").as("code_min"), max("code").as("code_max"))
+    },
+
     // Brute-force cosine/dot top-k: the ANN correctness baseline. The
     // only cross join in the library — against a bounded broadcast query
     // set (4 vectors), i.e. a BroadcastNestedLoopJoin over one scan.
@@ -693,6 +742,75 @@ object LlmOps {
       val w = Window.partitionBy("lang").orderBy(desc("n"), asc("token"))
       cnt.withColumn("rank", row_number().over(w))
         .where(col("rank") <= 10)
+    },
+
+    // Decontamination: flag training documents sharing any 3-token
+    // shingle hash with a benchmark/eval set — the n-gram-overlap
+    // train/test contamination check every training-data pipeline runs.
+    // Shape: shingle-hash equi semi-join (hash-partitioned, map-side
+    // distinct); the benchmark side is usually small enough to
+    // broadcast, but the join degrades gracefully to shuffle when not.
+    "llm_decontaminate" -> QueryDef(
+      doc = "train/benchmark 3-gram overlap contamination check",
+      oracle = s"""
+        |WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), shing AS (
+        |  $shingleSql
+        |), h AS (
+        |  SELECT DISTINCT doc_id, substr(sha256(sh), 1, 12) AS hv FROM shing
+        |), bench AS (
+        |  SELECT DISTINCT hv FROM h WHERE doc_id % 50 = 0
+        |)
+        |SELECT doc_id, count(*) AS n_overlap
+        |FROM h
+        |WHERE doc_id % 50 <> 0
+        |  AND hv IN (SELECT hv FROM bench)
+        |GROUP BY doc_id
+        |ORDER BY doc_id
+        |""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+      val h = docs
+        .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
+        .select(col("doc_id"), substring(sha2(col("sh"), 256), 1, 12).as("hv"))
+        .distinct()
+      val bench = h.where(col("doc_id") % 50 === 0).select("hv").distinct()
+      h.where(col("doc_id") % 50 =!= 0)
+        .join(bench, Seq("hv"), "left_semi")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_overlap"))
+    },
+
+    // Sequence packing: assign documents to fixed-token-budget training
+    // bins via a running token sum — shard-local (here: per language)
+    // exactly as production packs per input shard; the window partitions
+    // on a bounded stratum, never a global order.
+    "llm_pack_sequences" -> QueryDef(
+      doc = "token-budget sequence packing via per-stratum running sum",
+      oracle = """
+        |WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents
+        |), packed AS (
+        |  SELECT doc_id, lang, n_tok,
+        |         CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, n_tok, (cum - n_tok) // 2048 AS bin
+        |FROM packed
+        |ORDER BY doc_id
+        |""") { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("(cum - n_tok) div 2048").as("bin"))
     },
 
     // Nested/JSON column extraction over events.props.
