@@ -88,10 +88,16 @@ object JdbcSink {
       val candidates = Seq(schema, schema.toUpperCase(java.util.Locale.ROOT),
         schema.toLowerCase(java.util.Locale.ROOT)).distinct
       candidates.foreach { sc =>
+        // belt and braces: the escaped pattern narrows the scan, and the
+        // exact TABLE_SCHEM filter guarantees no wildcard leakage even
+        // on drivers that ignore escapes in metadata patterns (Derby
+        // does) — without it, '_' positions in the name could match and
+        // DROP another schema's tables
         val tables = Using.resource(
           md.getTables(null, pattern(sc), "%", Array("TABLE"))) { rs =>
           Iterator.continually(rs).takeWhile(_.next())
-            .map(_.getString("TABLE_NAME")).toList
+            .map(r => (r.getString("TABLE_SCHEM"), r.getString("TABLE_NAME")))
+            .filter(_._1 == sc).map(_._2).toList
         }
         tables.foreach { t =>
           Using.resource(c.createStatement())(_.execute(s"""DROP TABLE "$sc"."$t""""))

@@ -36,4 +36,29 @@ class JdbcSinkSpec extends SparkSpec {
     JdbcSink.executeDdl(url, "CREATE TABLE bookkeeping(db_name VARCHAR(64))")
     JdbcSink.executeDdl(url, "DROP TABLE bookkeeping")
   }
+
+  test("dropSchema does not wildcard-match other schemas through '_'") {
+    // '_' is a single-char wildcard in JDBC metadata patterns; the
+    // victim schema name differs from the import schema only at the
+    // '_' positions, so an unescaped pattern would enumerate (and drop)
+    // its tables — the data-loss case the escape exists for
+    val imp = Seq(("x", 1)).toDF("a", "b")
+    JdbcSink.loadFeedIntoSchema(Map("t" -> imp), target, "gtfs_1_ab")
+    JdbcSink.loadFeedIntoSchema(Map("t" -> imp), target, "gtfsX1Xab")
+    JdbcSink.dropSchema(target, "gtfs_1_ab")
+    // the look-alike schema survives with its table intact
+    assert(JdbcSink.readTable(spark, target, "gtfsX1Xab.t").count() == 1)
+    // the dropped schema's table is gone
+    intercept[Exception] {
+      JdbcSink.readTable(spark, target, "gtfs_1_ab.t").count()
+    }
+  }
+
+  test("dropSchema reaps a schema that never received tables") {
+    JdbcSink.executeDdl(target, """CREATE SCHEMA "empty_import"""")
+    JdbcSink.dropSchema(target, "empty_import")
+    // re-creating proves the DROP happened (Derby errors on duplicates)
+    JdbcSink.executeDdl(target, """CREATE SCHEMA "empty_import"""")
+    JdbcSink.dropSchema(target, "empty_import")
+  }
 }
