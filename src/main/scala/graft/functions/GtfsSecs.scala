@@ -86,11 +86,23 @@ object GtfsSecs {
 }
 
 /** SparkSessionExtensions entry point — enable with
-  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  * Injects every custom Catalyst expression this library defines, so an
+  * extension-enabled session needs no per-function register() calls
+  * (ExtensionsSpec proves the path end-to-end). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("gtfs_secs"),
       new ExpressionInfo(classOf[GtfsSecsExpr].getName, "gtfs_secs"),
       (children: Seq[Expression]) => GtfsSecsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_scaled"),
+      new ExpressionInfo(classOf[DotScaledExpr].getName, "dot_scaled"),
+      (children: Seq[Expression]) => DotScaledExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2SqExpr].getName, "l2_sq"),
+      (children: Seq[Expression]) => L2SqExpr(children.head, children(1))))
+  }
 }
