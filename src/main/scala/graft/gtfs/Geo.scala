@@ -107,11 +107,18 @@ object Geo {
     points.indices.collect { case i if keep(i) => points(i) }.toIndexedSeq
   }
 
-  /** Perpendicular distance from p to segment (a, b) in degree space. */
+  /** Perpendicular distance from p to segment (a, b) in degree space.
+    * The degenerate branch uses plain sqrt(x²+y²), NOT Math.hypot:
+    * hypot's extra-precision rounding has no SQL equivalent, and the
+    * c7 DuckDB oracle replays this exact expression — every operation
+    * here (-, *, +, abs, /, sqrt) is IEEE exact-rounded and therefore
+    * bit-identical across engines when written in the same order. */
   private def perpDistance(p: Pt, a: Pt, b: Pt): Double = {
     val dx = b.lon - a.lon; val dy = b.lat - a.lat
     val norm = math.sqrt(dx * dx + dy * dy)
-    if (norm == 0) math.hypot(p.lon - a.lon, p.lat - a.lat)
-    else math.abs(dy * p.lon - dx * p.lat + b.lon * a.lat - b.lat * a.lon) / norm
+    if (norm == 0) {
+      val ex = p.lon - a.lon; val ey = p.lat - a.lat
+      math.sqrt(ex * ex + ey * ey)
+    } else math.abs(dy * p.lon - dx * p.lat + b.lon * a.lat - b.lat * a.lon) / norm
   }
 }

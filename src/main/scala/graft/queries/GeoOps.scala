@@ -136,11 +136,75 @@ object GeoOps {
     },
 
     // C7 --min-shapes distributed: Douglas-Peucker per shape via
-    // flatMapGroups (bounded per-shape groups). Polylines synthesized
-    // from lineitem; rows-only check (recursive DP is not
-    // SQL-expressible in DuckDB).
-    "c7_min_shapes" -> QueryDef.noOracle(
-      doc = "Douglas-Peucker polyline simplification per shape group") { (s, d) =>
+    // flatMapGroups (bounded per-shape groups), polylines synthesized
+    // from lineitem. The kept-point set of DP is independent of the
+    // traversal order, every arithmetic step is IEEE exact-rounded
+    // (see Geo.perpDistance), the points are totally ordered by
+    // (seq, lat, lon) — (l_orderkey, l_linenumber) is NOT unique in the
+    // test data — and the first-max argmax equals min-idx-among-max, so
+    // the recursion IS SQL-expressible: the oracle replays it with a
+    // DuckDB recursive CTE over (shape, lo, hi) segments.
+    "c7_min_shapes" -> QueryDef(
+      doc = "Douglas-Peucker polyline simplification per shape group",
+      oracle = """
+        |WITH RECURSIVE pts AS (
+        |  SELECT shape_id,
+        |         row_number() OVER (PARTITION BY shape_id
+        |                            ORDER BY seq, lat, lon) AS idx,
+        |         lat, lon
+        |  FROM (SELECT l_orderkey AS shape_id, l_linenumber AS seq,
+        |               (l_partkey % 100) / 10.0 AS lat,
+        |               l_linenumber * 1.0 AS lon
+        |        FROM lineitem)
+        |), bounds AS (
+        |  SELECT shape_id, min(idx) AS lo, max(idx) AS hi, count(*) AS n
+        |  FROM pts GROUP BY shape_id
+        |), seg AS (
+        |  SELECT shape_id, lo, hi FROM bounds
+        |  UNION ALL
+        |  SELECT spl.shape_id,
+        |         CASE w.i WHEN 0 THEN spl.lo ELSE spl.best END AS lo,
+        |         CASE w.i WHEN 0 THEN spl.best ELSE spl.hi END AS hi
+        |  FROM (
+        |    SELECT c.shape_id, c.lo, c.hi, c.maxd, min(c.idx) AS best
+        |    FROM (
+        |      SELECT d.shape_id, d.lo, d.hi, d.idx, d.d,
+        |             max(d.d) OVER (PARTITION BY d.shape_id, d.lo, d.hi) AS maxd
+        |      FROM (
+        |        SELECT s.shape_id, s.lo, s.hi, p.idx,
+        |               CASE WHEN (b.lon - a.lon) * (b.lon - a.lon)
+        |                         + (b.lat - a.lat) * (b.lat - a.lat) = 0
+        |                 THEN sqrt((p.lon - a.lon) * (p.lon - a.lon)
+        |                           + (p.lat - a.lat) * (p.lat - a.lat))
+        |                 ELSE abs((b.lat - a.lat) * p.lon - (b.lon - a.lon) * p.lat
+        |                          + b.lon * a.lat - b.lat * a.lon)
+        |                      / sqrt((b.lon - a.lon) * (b.lon - a.lon)
+        |                             + (b.lat - a.lat) * (b.lat - a.lat))
+        |               END AS d
+        |        FROM seg s
+        |        JOIN pts a ON a.shape_id = s.shape_id AND a.idx = s.lo
+        |        JOIN pts b ON b.shape_id = s.shape_id AND b.idx = s.hi
+        |        JOIN pts p ON p.shape_id = s.shape_id
+        |                  AND p.idx > s.lo AND p.idx < s.hi
+        |      ) d
+        |    ) c
+        |    WHERE c.d = c.maxd
+        |    GROUP BY c.shape_id, c.lo, c.hi, c.maxd
+        |    HAVING c.maxd > 0.05
+        |  ) spl
+        |  CROSS JOIN (SELECT unnest([0, 1]) AS i) w
+        |), kept AS (
+        |  SELECT DISTINCT shape_id, idx FROM (
+        |    SELECT shape_id, lo AS idx FROM seg
+        |    UNION ALL SELECT shape_id, hi FROM seg)
+        |)
+        |SELECT b.shape_id, CAST(b.n AS BIGINT) AS n_before,
+        |       CAST(k.n_kept AS BIGINT) AS n_after
+        |FROM bounds b
+        |JOIN (SELECT shape_id, count(*) AS n_kept FROM kept GROUP BY shape_id) k
+        |  USING (shape_id)
+        |ORDER BY b.shape_id
+        |""") { (s, d) =>
       import s.implicits._
       import graft.gtfs.Geo
       fanout(Tables.lineitem(s, d), col("l_orderkey"))
@@ -150,9 +214,11 @@ object GeoOps {
         .as[(Long, Int, Double, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (sid, it) =>
-          val pts = it.map(r => Geo.Pt(r._2, r._3, r._4)).toIndexedSeq.sortBy(_.seq)
+          // total order (seq alone is non-unique) → deterministic DP
+          val pts = it.map(r => Geo.Pt(r._2, r._3, r._4)).toIndexedSeq
+            .sortBy(p => (p.seq, p.lat, p.lon))
           val simplified = Geo.douglasPeucker(pts, 0.05)
-          Iterator.single((sid, pts.length, simplified.length))
+          Iterator.single((sid, pts.length.toLong, simplified.length.toLong))
         }
         .toDF("shape_id", "n_before", "n_after")
     },
