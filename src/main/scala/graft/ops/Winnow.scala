@@ -28,10 +28,14 @@ object Winnow {
         element_at(tokens, i + 2)))
 
   /** Per-doc sorted distinct window-min shingle hashes.
-    * Input: (doc_id, toks array); output: (doc_id, fps array<bigint>). */
+    * Input: (doc_id, toks array); output: (doc_id, fps array<bigint>).
+    * The shingle rows are repartitioned on (doc_id, pos) before hashing
+    * so the sha256 runs cluster-wide even when the source is one input
+    * split; the window's own (doc_id) exchange follows. */
   def fingerprints(docs: DataFrame, window: Int = 4): DataFrame = {
     val h = docs
       .select(col("doc_id"), posexplode(shingles(col("toks"))).as(Seq("pos", "sh")))
+      .repartition(col("doc_id"), col("pos"))
       .select(col("doc_id"), col("pos"),
         conv(substring(sha2(col("sh"), 256), 1, 12), 16, 10).cast("long").as("hv"))
     val w = Window.partitionBy("doc_id").orderBy("pos")

@@ -85,7 +85,9 @@ object LlmOps {
     *    extra hash shuffle plus interpreted array lambdas.) */
   private def minhashCandidates(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val shing = docs.select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
+    val shing = fanout(
+      docs.select(col("doc_id"), explode(shingles(col("toks"))).as("sh")),
+      col("doc_id"), col("sh"))
     // (A hash-distinct-shingles-once-and-join-back variant — shingles
     // repeat ~10× across docs — was measured at 5.6+ s vs 2.6 s here:
     // the two string-keyed shuffles of the full shingle stream cost far
@@ -239,11 +241,16 @@ object LlmOps {
         |FROM toks GROUP BY doc_id
         |ORDER BY doc_id
         |""") { (s, d) =>
-      val toks = fanout(Tables.documents(s, d), col("doc_id"))
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .select(col("doc_id"), substring(sha2(col("t"), 256), 1, 16).as("h"))
+      // token-level fanout + sha inside the aggregate expressions: the
+      // hash evaluates in the partial aggregation above this exchange
+      // (32-way), shared across all 16 bit sums by subexpression
+      // elimination — the same shape as the MinHash aggregation
+      val toks = fanout(Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t")),
+        col("doc_id"), col("t"))
+      val h = substring(sha2(col("t"), 256), 1, 16)
       val bitCols = (0 until 16).map { j =>
-        when(sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1)) > 0, "1")
+        when(sum(when(substring(h, j + 1, 1) >= "8", 1).otherwise(-1)) > 0, "1")
           .otherwise("0")
       }
       toks.groupBy("doc_id")
@@ -643,14 +650,17 @@ object LlmOps {
         |GROUP BY doc_id
         |ORDER BY doc_id
         |""") { (s, d) =>
-      val docs = fanout(Tables.documents(s, d), col("doc_id"))
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
-      docs
-        .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
-        .select(col("doc_id"), substring(sha2(col("sh"), 256), 1, 12).as("h"))
+      // shingle-level fanout parallelizes the sha256 (single-split scan
+      // otherwise hashes on one task); the groupBy's exchange follows
+      fanout(docs
+        .select(col("doc_id"), explode(shingles(col("toks"))).as("sh")),
+        col("doc_id"), col("sh"))
         .groupBy("doc_id")
-        .agg(array_join(slice(array_sort(collect_set(col("h"))), 1, 3), "-")
+        .agg(array_join(slice(array_sort(
+          collect_set(substring(sha2(col("sh"), 256), 1, 12))), 1, 3), "-")
           .as("fingerprint"))
     },
 
@@ -772,8 +782,13 @@ object LlmOps {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
-      val h = docs
-        .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
+      // fanout at the SHINGLE level: the sha256 is a grouping-key
+      // expression of the distinct (= aggregate), so it evaluates above
+      // this exchange, 32-way — while the distinct's own exchange stays
+      // above the hashing and still dedups the two consumers below
+      val h = fanout(docs
+        .select(col("doc_id"), explode(shingles(col("toks"))).as("sh")),
+        col("doc_id"), col("sh"))
         .select(col("doc_id"), substring(sha2(col("sh"), 256), 1, 12).as("hv"))
         .distinct()
       val bench = h.where(col("doc_id") % 50 === 0).select("hv").distinct()
