@@ -33,11 +33,12 @@ object Tables {
     cache.getOrElseUpdate((spark, sfDir, name),
       spark.read.parquet(s"$sfDir/$name.parquet"))
 
-  /** Drop cached relations — all of them, or one session's. */
-  def invalidate(session: SparkSession = null): Unit =
-    cache.keys.foreach { k =>
-      if (session == null || k._1 == session) cache.remove(k)
-    }
+  /** Drop every cached relation (e.g. after regenerating a data dir). */
+  def invalidate(): Unit = cache.clear()
+
+  /** Drop one session's cached relations (call on session close). */
+  def invalidate(session: SparkSession): Unit =
+    cache.keys.foreach { k => if (k._1 == session) cache.remove(k) }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -91,18 +91,25 @@ object GtfsSecs {
   * extension-enabled session needs no per-function register() calls
   * (ExtensionsSpec proves the path end-to-end). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      require(children.length == n,
+        s"$name expects $n argument(s), got ${children.length}")
+      build(children)
+    }
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("gtfs_secs"),
       new ExpressionInfo(classOf[GtfsSecsExpr].getName, "gtfs_secs"),
-      (children: Seq[Expression]) => GtfsSecsExpr(children.head)))
+      arity("gtfs_secs", 1)(c => GtfsSecsExpr(c.head))))
     ext.injectFunction((
       FunctionIdentifier("dot_scaled"),
       new ExpressionInfo(classOf[DotScaledExpr].getName, "dot_scaled"),
-      (children: Seq[Expression]) => DotScaledExpr(children.head, children(1))))
+      arity("dot_scaled", 2)(c => DotScaledExpr(c.head, c(1)))))
     ext.injectFunction((
       FunctionIdentifier("l2_sq"),
       new ExpressionInfo(classOf[L2SqExpr].getName, "l2_sq"),
-      (children: Seq[Expression]) => L2SqExpr(children.head, children(1))))
+      arity("l2_sq", 2)(c => L2SqExpr(c.head, c(1)))))
   }
 }

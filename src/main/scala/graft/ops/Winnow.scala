@@ -33,9 +33,15 @@ object Winnow {
     * so the sha256 runs cluster-wide even when the source is one input
     * split; the window's own (doc_id) exchange follows. */
   def fingerprints(docs: DataFrame, window: Int = 4): DataFrame = {
-    val h = docs
+    val sh0 = docs
       .select(col("doc_id"), posexplode(shingles(col("toks"))).as(Seq("pos", "sh")))
-      .repartition(col("doc_id"), col("pos"))
+    // adaptive (cf. queries.fanout): only repartition when the source is
+    // under-split, so production multi-file scans pay no extra exchange
+    val spread =
+      if (sh0.rdd.getNumPartitions >=
+        sh0.sparkSession.sparkContext.defaultParallelism) sh0
+      else sh0.repartition(col("doc_id"), col("pos"))
+    val h = spread
       .select(col("doc_id"), col("pos"),
         conv(substring(sha2(col("sh"), 256), 1, 12), 16, 10).cast("long").as("hv"))
     val w = Window.partitionBy("doc_id").orderBy("pos")

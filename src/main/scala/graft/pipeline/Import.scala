@@ -175,14 +175,20 @@ object Import {
         if (cfg.postprocessSql.nonEmpty || hasPpDir) {
           registerViews(spark, dbPath)
           cfg.postprocessSql.foreach(execSql(spark, _))
-          // executables get the gtfs dir as argv[1]: the default stage's
-          // extraction dir when it ran, else the staged feed — an
-          // importStage override need not extract anything to
-          // tmpDir/extracted, and a stale extraction from a previous
-          // run must never be handed to this run's scripts
+          // executables get the gtfs DIR as argv[1] (reference contract,
+          // import.sh:140-145): the default stage's extraction dir when
+          // it ran; with an importStage override (which need not extract
+          // anything, and whose tmpDir/extracted could be stale from a
+          // previous run) the staged feed is used — extracting it first
+          // when it is a zip FILE, so scripts always receive a directory
           val gtfsDirForScripts =
             if (cfg.importStage.isEmpty) cfg.tmpDir.resolve("extracted")
-            else staged
+            else if (Files.isDirectory(staged)) staged
+            else {
+              val dir = cfg.tmpDir.resolve("extracted")
+              extractFeed(staged, dir)
+              dir
+            }
           runPostprocessingDir(spark, cfg.postprocessingDir,
             gtfsDirForScripts, dbPath)
         }

@@ -450,7 +450,9 @@ object LlmOps {
         |  SELECT i, min(v) AS lo, max(v) AS hi FROM dims GROUP BY i
         |), coded AS (
         |  SELECT d.vec_id,
-        |         CAST(floor((d.v - mm.lo) / (mm.hi - mm.lo) * 255.0 + 0.5) AS BIGINT) AS code,
+        |         CASE WHEN mm.hi = mm.lo THEN 0
+        |              ELSE CAST(floor((d.v - mm.lo) / (mm.hi - mm.lo) * 255.0 + 0.5) AS BIGINT)
+        |         END AS code,
         |         d.v, mm.lo, mm.hi
         |  FROM dims d JOIN mm USING (i)
         |), err AS (
@@ -470,8 +472,12 @@ object LlmOps {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
         .select(col("vec_id"), (col("pos0") + 1).as("i"), col("vf").cast("double").as("v"))
       val mm = dims.groupBy("i").agg(min("v").as("lo"), max("v").as("hi"))
-      val code = floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 255.0 + 0.5)
-        .cast("long")
+      // constant dimension (hi == lo) → 0/0 = NaN downstream: Spark
+      // would silently cast floor(NaN) to 0 while DuckDB errors on the
+      // cast — guard explicitly to code 0 on BOTH sides
+      val code = when(col("hi") === col("lo"), 0L)
+        .otherwise(floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 255.0 + 0.5)
+          .cast("long"))
       dims.join(broadcast(mm), Seq("i"))
         .select(col("vec_id"), code.as("code"), col("v"), col("lo"), col("hi"))
         .select(col("vec_id"), col("code"),
@@ -697,8 +703,9 @@ object LlmOps {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
       // graft.ops.Winnow: window-min per 4-shingle window, collect_set
-      // absorbing the per-doc DISTINCT, one shuffle total (the groupBy
-      // reuses the window's doc_id partitioning)
+      // absorbing the per-doc DISTINCT; the groupBy reuses the window's
+      // doc_id partitioning (plus the hashing fanout inside
+      // Winnow.fingerprints when the source is a single split)
       graft.ops.Winnow.fingerprints(docs, window = 4)
         .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
           substring(sha2(array_join(transform(

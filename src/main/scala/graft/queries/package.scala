@@ -9,13 +9,20 @@ package object queries {
     * input split and every narrow transform above it (explode+hash,
     * per-group signature building, distance loops) runs in a single
     * task regardless of local[n]. One hash shuffle of the small base
-    * table on the downstream grouping key spreads that work across all
-    * cores; the following groupBy/window on the same key then reuses
-    * this partitioning (EnsureRequirements inserts no second exchange).
-    * At production scale — many files, many row groups — the scan
-    * splits on its own and this becomes the co-location the downstream
-    * aggregation wants anyway, not an extra pass. */
-  def fanout(df: DataFrame, key: Column*): DataFrame = df.repartition(key: _*)
+    * spreads that work across all cores.
+    *
+    * ADAPTIVE: the repartition only happens when the input's planned
+    * partition count is below the cluster's parallelism. At production
+    * scale — many files, many row groups — the scan splits on its own
+    * and fanout is the identity, so no query pays an extra all-data
+    * exchange for what is purely a small-input parallelization aid.
+    * (getNumPartitions plans the RDD lineage but runs no job; fanout
+    * inputs here are scan+narrow pipelines, never post-shuffle plans.) */
+  def fanout(df: DataFrame, key: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(key: _*)
+  }
 
   /** Epoch seconds as BIGINT. Parquet timestamps arrive as TIMESTAMP_NTZ
     * in Spark 4 (inferTimestampNTZ); with the session tz pinned to UTC the

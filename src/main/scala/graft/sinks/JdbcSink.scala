@@ -58,7 +58,13 @@ object JdbcSink {
   def loadFeedIntoSchema(feed: Map[String, DataFrame], target: JdbcTarget,
       schema: String): Unit = {
     try executeDdl(target, s"""CREATE SCHEMA "$schema"""")
-    catch { case _: java.sql.SQLException => () } // exists already (retry)
+    catch {
+      // tolerate ONLY "schema exists" (retried import): PG 42P06,
+      // Derby X0Y68; anything else (permissions, connectivity) must
+      // surface here, not as a misleading downstream table error
+      case e: java.sql.SQLException
+        if e.getSQLState == "42P06" || e.getSQLState == "X0Y68" => ()
+    }
     feed.foreach { case (entity, df) =>
       writeTable(df, target, s"$schema.$entity")
     }

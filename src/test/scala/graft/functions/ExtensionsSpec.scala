@@ -32,6 +32,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(s.sql(
         "SELECT l2_sq(array(1.0D, 2.0D), array(1.0D, 4.0D)) AS v")
         .head().getDouble(0) == 4.0)
+      // wrong arity → clear message, not a Catalyst internal error
+      val e = intercept[Exception] { s.sql("SELECT l2_sq(array(1.0D))").collect() }
+      assert(e.getMessage.contains("l2_sq expects 2"), e.getMessage)
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
