@@ -47,6 +47,22 @@ object Bench {
           .agg(collect_list(struct(col("rn"), col("n_name"))).as("xs"),
             min(struct(col("rn"), col("n_nationkey"))).as("m"))
       })
+      // hash/explode/window shapes the document queries compile
+      run((s, d) => {
+        val w = Window.partitionBy("n_regionkey").orderBy("pos")
+          .rowsBetween(-3, 0)
+        Tables.nation(s, d)
+          .select(col("n_regionkey"),
+            posexplode(split(col("n_name"), "")).as(Seq("pos", "ch")))
+          .repartition(col("n_regionkey"), col("ch"))
+          .withColumn("wm",
+            min(conv(substring(sha2(col("ch"), 256), 1, 8), 16, 10)
+              .cast("long")).over(w))
+          .groupBy("n_regionkey")
+          .agg(array_sort(collect_set(col("wm"))).as("s"),
+            min(conv(substring(sha2(col("ch"), 256), 9, 8), 16, 10)
+              .cast("long")).as("m"))
+      })
     } catch { case _: Throwable => () }
 
     var failures = List.empty[String]
