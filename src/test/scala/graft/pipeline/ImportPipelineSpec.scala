@@ -308,6 +308,39 @@ class ImportPipelineSpec extends SparkSpec {
       MetaStore(root.toString).databasePath(r.newImport.get.dbName).resolve("stops")))
   }
 
+  test("zip feed + importStage override: postprocessing gets an extracted DIR") {
+    val root = Files.createTempDirectory("store-ovz")
+    val feedDir = TestFeed.writeTo(Files.createTempDirectory("fovz"))
+    // zip the fixture: the staged feed is then a FILE, the case where
+    // handing argv[1] = staged verbatim would violate the gtfs-dir
+    // contract for postprocessing executables
+    val zip = Files.createTempDirectory("zovz").resolve("feed.zip")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zip))
+    Files.list(feedDir).forEach { f =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(f.getFileName.toString))
+      zos.write(Files.readAllBytes(f)); zos.closeEntry()
+    }
+    zos.close()
+    val pp = Files.createTempDirectory("ppovz")
+    val sh = pp.resolve("10-check")
+    // the script fails unless argv[1] is a directory containing the feed
+    Files.writeString(sh,
+      "#!/bin/sh\ntest -d \"$1\" && test -f \"$1/stops.txt\" || exit 7\n" +
+        "echo ok > \"$2/ppz-marker.txt\"\n")
+    sh.toFile.setExecutable(true)
+    val cfg = mkCfg(root, zip, "ovz").copy(
+      postprocessingDir = Some(pp),
+      importStage = Some { (s, c, staged, dbPath) =>
+        Import.defaultImportStage(s, c, staged, dbPath)
+      },
+      now = () => 1700000800L)
+    val r = Import.importGtfsAtomically(spark, cfg)
+    assert(!r.importSkipped && r.newImport.isDefined)
+    val db = MetaStore(root.toString).databasePath(r.newImport.get.dbName)
+    assert(Files.exists(db.resolve("ppz-marker.txt")),
+      "script must have received an extracted gtfs directory")
+  }
+
   test("T1: a stale lockfile from a crashed importer does not wedge the next run") {
     val root = Files.createTempDirectory("store-stale")
     val store = MetaStore(root.toString)
