@@ -25,45 +25,8 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
 
-    // Warmup, untimed: exercise the operator code paths the measured
-    // queries share — scan+hash agg, broadcast join, window, object
-    // hash agg (collect_list), semi join — on the 25-row nation table.
-    // This moves Janino's own JIT warmup and the first compile of each
-    // generated-code shape out of the first measured queries (the
-    // alphabetically-first c1x block otherwise absorbs it).
-    try {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions._
-      run((s, d) => Tables.nation(s, d).groupBy("n_regionkey").count())
-      run((s, d) => {
-        val n = Tables.nation(s, d)
-        val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
-        n.join(broadcast(Tables.region(s, d)),
-            col("n_regionkey") === col("r_regionkey"))
-          .join(n.select(col("n_nationkey").as("k")),
-            col("n_nationkey") === col("k"), "left_semi")
-          .withColumn("rn", row_number().over(w))
-          .groupBy("n_regionkey")
-          .agg(collect_list(struct(col("rn"), col("n_name"))).as("xs"),
-            min(struct(col("rn"), col("n_nationkey"))).as("m"))
-      })
-      // hash/explode/window shapes the document queries compile
-      run((s, d) => {
-        val w = Window.partitionBy("n_regionkey").orderBy("pos")
-          .rowsBetween(-3, 0)
-        Tables.nation(s, d)
-          .select(col("n_regionkey"),
-            posexplode(split(col("n_name"), "")).as(Seq("pos", "ch")))
-          .repartition(col("n_regionkey"), col("ch"))
-          .withColumn("wm",
-            min(conv(substring(sha2(col("ch"), 256), 1, 8), 16, 10)
-              .cast("long")).over(w))
-          .groupBy("n_regionkey")
-          .agg(array_sort(collect_set(col("wm"))).as("s"),
-            min(conv(substring(sha2(col("ch"), 256), 9, 8), 16, 10)
-              .cast("long")).as("m"))
-      })
-    } catch { case _: Throwable => () }
+    // Untimed warmup of the shared codegen shapes (see graft.Warmup).
+    Warmup.run(spark, sfDir)
 
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

