@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -257,6 +258,115 @@ object Clean {
         sum(when(col("o_orderkey") === col("canonical"), 1L).otherwise(0L))
           .as("n_after"))
         .crossJoin(remapped.agg(count(lit(1)).as("n_lines_remapped")))
+    },
+
+    // C8 --minimize-services (import.sh:74-76): re-encode each service's
+    // date set as the cheaper of (weekly calendar mask + exception
+    // dates) vs pure calendar_dates. Runs the REAL
+    // graft.gtfs.Clean.minimizeServices over a calendar_dates-only feed
+    // synthesized from orders (four per-service date patterns: pure
+    // weekdays, Mon/Wed/Fri, weekdays-with-holes, every-3rd-day — so
+    // both encodings and the mixed mask+exceptions path are all
+    // exercised), then summarizes the chosen encoding per service. The
+    // oracle replays the encoding-cost decision in SQL: expand the
+    // span, count per-dow possible vs actual occurrences, keep a dow in
+    // the mask only when fully covered, compare 1+(n_dates−n_covered)
+    // against n_dates.
+    "c8_minimize_services" -> QueryDef(
+      doc = "weekly-mask vs explicit-dates service encoding (real minimizeServices impl)",
+      oracle = """
+        |WITH cal AS (
+        |  SELECT o_orderkey AS service_id, CAST(o_orderdate AS DATE) AS sd
+        |  FROM orders WHERE o_orderkey % 20 < 4
+        |), days AS (
+        |  SELECT service_id, CAST(d AS DATE) AS dt
+        |  FROM cal, unnest(generate_series(sd, sd + 27, INTERVAL 1 DAY)) AS t(d)
+        |  WHERE CASE service_id % 20
+        |          WHEN 0 THEN isodow(CAST(d AS DATE)) <= 5
+        |          WHEN 1 THEN isodow(CAST(d AS DATE)) IN (1, 3, 5)
+        |          WHEN 2 THEN isodow(CAST(d AS DATE)) <= 5
+        |                      AND date_diff('day', sd, CAST(d AS DATE)) % 9 <> 0
+        |          ELSE date_diff('day', sd, CAST(d AS DATE)) % 3 = 0 END
+        |), span AS (
+        |  SELECT service_id, min(dt) AS d0, max(dt) AS d1, count(*) AS n_dates
+        |  FROM days GROUP BY 1
+        |), rng AS (
+        |  SELECT service_id, CAST(d AS DATE) AS rd
+        |  FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(d)
+        |), poss AS (
+        |  SELECT service_id, isodow(rd) - 1 AS dow, count(*) AS n_possible
+        |  FROM rng GROUP BY 1, 2
+        |), act AS (
+        |  SELECT service_id, isodow(dt) - 1 AS dow, count(*) AS n_actual
+        |  FROM days GROUP BY 1, 2
+        |), m AS (
+        |  SELECT p.service_id, p.dow,
+        |         coalesce(a.n_actual, 0) AS n_actual,
+        |         coalesce(a.n_actual, 0) = p.n_possible AS in_mask
+        |  FROM poss p LEFT JOIN act a ON a.service_id = p.service_id AND a.dow = p.dow
+        |), enc AS (
+        |  SELECT service_id,
+        |         max(CASE WHEN dow = 0 AND in_mask THEN 1 ELSE 0 END)
+        |      || max(CASE WHEN dow = 1 AND in_mask THEN 1 ELSE 0 END)
+        |      || max(CASE WHEN dow = 2 AND in_mask THEN 1 ELSE 0 END)
+        |      || max(CASE WHEN dow = 3 AND in_mask THEN 1 ELSE 0 END)
+        |      || max(CASE WHEN dow = 4 AND in_mask THEN 1 ELSE 0 END)
+        |      || max(CASE WHEN dow = 5 AND in_mask THEN 1 ELSE 0 END)
+        |      || max(CASE WHEN dow = 6 AND in_mask THEN 1 ELSE 0 END) AS mask,
+        |         sum(CASE WHEN in_mask THEN n_actual ELSE 0 END) AS n_covered
+        |  FROM m GROUP BY service_id
+        |), dec AS (
+        |  SELECT s.service_id, s.n_dates, s.d0, s.d1, e.mask,
+        |         e.n_covered,
+        |         (1 + (s.n_dates - e.n_covered) < s.n_dates
+        |          AND e.n_covered > 0) AS use_cal
+        |  FROM span s JOIN enc e USING (service_id)
+        |)
+        |SELECT service_id,
+        |       CAST(CASE WHEN use_cal THEN 1 ELSE 0 END AS BIGINT) AS in_calendar,
+        |       CASE WHEN use_cal THEN mask ELSE '-' END AS mask,
+        |       CASE WHEN use_cal THEN strftime(d0, '%Y%m%d') ELSE '-' END AS start_date,
+        |       CASE WHEN use_cal THEN strftime(d1, '%Y%m%d') ELSE '-' END AS end_date,
+        |       CAST(CASE WHEN use_cal THEN n_dates - n_covered
+        |                 ELSE n_dates END AS BIGINT) AS n_exceptions
+        |FROM dec
+        |ORDER BY service_id
+        |""") { (s, d) =>
+      implicit val spark: SparkSession = s
+      val cal = Tables.orders(s, d).where(col("o_orderkey") % 20 < 4)
+        .select(col("o_orderkey").as("service_id"),
+          col("o_orderdate").cast("date").as("sd"))
+      val variant = col("service_id") % 20
+      val off = datediff(col("dt"), col("sd"))
+      val dow = expr("weekday(dt)")
+      val days = cal
+        .select(col("service_id"), col("sd"),
+          explode(expr("sequence(sd, date_add(sd, 27), interval 1 day)")).as("dt"))
+        .where(
+          when(variant === 0, dow < 5)
+            .when(variant === 1, dow.isin(0, 2, 4))
+            .when(variant === 2, dow < 5 && off % 9 =!= 0)
+            .otherwise(off % 3 === 0))
+      val cd = days.select(col("service_id"),
+        date_format(col("dt"), "yyyyMMdd").as("date"),
+        lit(1).as("exception_type"))
+      val minimized = graft.gtfs.Clean.minimizeServices(Map("calendar_dates" -> cd))
+      val dowNames = Seq("monday", "tuesday", "wednesday", "thursday",
+        "friday", "saturday", "sunday")
+      val calOut = minimized("calendar").select(col("service_id"),
+        concat(dowNames.map(c => col(c).cast("string")): _*).as("mask"),
+        col("start_date"), col("end_date"))
+      val exCount = minimized("calendar_dates")
+        .groupBy("service_id").agg(count(lit(1)).as("n_exceptions"))
+      days.select("service_id").distinct()
+        .join(calOut, Seq("service_id"), "left")
+        .join(exCount, Seq("service_id"), "left")
+        .select(col("service_id"),
+          when(col("mask").isNotNull, 1L).otherwise(0L).as("in_calendar"),
+          coalesce(col("mask"), lit("-")).as("mask"),
+          coalesce(col("start_date"), lit("-")).as("start_date"),
+          coalesce(col("end_date"), lit("-")).as("end_date"),
+          coalesce(col("n_exceptions"), lit(0L)).as("n_exceptions"))
     },
 
     // C13 --remove-red-services: services with identical *date sets*
