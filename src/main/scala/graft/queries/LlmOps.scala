@@ -83,20 +83,42 @@ object LlmOps {
     *    (A collect_set-per-bucket + in-row pair expansion variant was
     *    measured SLOWER here: it trades the cheap broadcast join for an
     *    extra hash shuffle plus interpreted array lambdas.) */
-  private def minhashCandidates(docs: org.apache.spark.sql.DataFrame)
+  /** Per-doc MinHash signatures (doc_id, h0..h7): 8 minima in ONE
+    * codegen'd hash aggregation — the sha256 evaluates in the partial
+    * aggregate above the fanout exchange, shared across the 8 chunk
+    * minima by subexpression elimination. The groupBy(doc_id) exchange
+    * doubles as the dedup point: the band self-join's two sides reuse
+    * it (ReusedExchange), so the scan+shingle+sha pipeline runs once.
+    *
+    * (Two measured alternatives, both slower: a
+    * hash-distinct-shingles-once-and-join-back variant — shingles
+    * repeat ~10× across docs — at 5.6+ s vs 2.6 s (two string-keyed
+    * shuffles of the full shingle stream cost more than the saved
+    * sha256 work); a no-aggregation higher-order-function variant
+    * (array_min over transform'd chunks of a per-shingle sha array,
+    * repartition(doc_id) as the dedup barrier) at 2.0 s steady vs
+    * 1.0 s — interpreted HOF lambdas plus 9 intermediate arrays per
+    * row lose to the codegen'd aggregate even though the plan has one
+    * fewer pass.) */
+  private def minhashSigs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val shing = fanout(
       docs.select(col("doc_id"), explode(shingles(col("toks"))).as("sh")),
       col("doc_id"), col("sh"))
-    // (A hash-distinct-shingles-once-and-join-back variant — shingles
-    // repeat ~10× across docs — was measured at 5.6+ s vs 2.6 s here:
-    // the two string-keyed shuffles of the full shingle stream cost far
-    // more than the saved sha256 work. In-aggregate hashing stays.)
     val mhAggs = (0 until 8).map(j =>
       min(conv(substring(sha2(col("sh"), 256), 1 + 8 * j, 8), 16, 10)
         .cast("long")).as(s"h$j"))
-    val mh8 = shing.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-    val bands = mh8.select(col("doc_id"),
+    shing.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+  }
+
+  /** Banded LSH candidate pairs from [[minhashSigs]] output: 4 bands ×
+    * 2 rows, bucket self-join on the numeric (band_id, k1, k2) key —
+    * the band table is 4 rows per doc, so Spark broadcasts one side.
+    * Never all-pairs: within-bucket pair count is bounded by the band
+    * collision probability, not the corpus size. */
+  private def bandPairs(sigs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = sigs.select(col("doc_id"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("band_id"), col(s"h${2 * b}").as("k1"),
         col(s"h${2 * b + 1}").as("k2"))): _*)).as("bs"))
@@ -108,6 +130,10 @@ object LlmOps {
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  private def minhashCandidates(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bandPairs(minhashSigs(docs))
 
   /** DuckDB CTE chain equivalent to [[minhashCandidates]] (self-join
     * formulation — same result set); expects a `docs(doc_id, toks)` CTE
@@ -291,7 +317,14 @@ object LlmOps {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
       val cand = minhashCandidates(docs)
-      val shs = docs.select(col("doc_id"), array_distinct(shingles(col("toks"))).as("shs"))
+      // ONE shingle-array build for both re-rank sides: the explicit
+      // repartition(doc_id) exchange sits above it, so the doc_a and
+      // doc_b fetches below are ReusedExchange reads of the same
+      // computed arrays (previously each join side re-ran the
+      // scan+shingle pipeline)
+      val shs = docs
+        .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("shs"))
+        .repartition(col("doc_id"))
       val inter = size(array_intersect(col("sha_"), col("shb_")))
       cand
         .join(shs.select(col("doc_id").as("doc_a"), col("shs").as("sha_")), Seq("doc_a"))
@@ -789,18 +822,35 @@ object LlmOps {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
-      // fanout at the SHINGLE level: the sha256 is a grouping-key
-      // expression of the distinct (= aggregate), so it evaluates above
-      // this exchange, 32-way — while the distinct's own exchange stays
-      // above the hashing and still dedups the two consumers below
-      val h = fanout(docs
-        .select(col("doc_id"), explode(shingles(col("toks"))).as("sh")),
-        col("doc_id"), col("sh"))
+      // fanout at the SHINGLE level: the sha256 is evaluated in the
+      // partial aggregation above this exchange, 32-way.
+      //
+      // SINGLE PASS over the shingle/sha pipeline: the previous
+      // formulation filtered a shared distinct() per consumer
+      // (bench/train), but a filter on the grouping key pushes through
+      // the aggregate down to the scan, so Catalyst planned TWO
+      // complete scan+shingle+sha+distinct pipelines with no exchange
+      // reuse. One groupBy(hv) carries both sides at once: the bench
+      // flag and the deduped train doc set (collect_set = the old
+      // per-(doc,hv) distinct, folded into the same shuffle). Per-hv
+      // state is the train docs sharing one 3-gram hash; ObjectHashAgg
+      // falls back to sort-based on memory pressure, and a production
+      // decontaminator caps it (e.g. drop shingles above a document-
+      // frequency ceiling — they mark boilerplate, not contamination).
+      // no fanout: the per-shingle work here is ONE sha256 (vs minhash's
+      // 8 salted hashes) — at test scale the spread exchange costs more
+      // than the hashing it parallelizes, and at production scale the
+      // scan splits on its own
+      val overlap = docs
+        .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
         .select(col("doc_id"), substring(sha2(col("sh"), 256), 1, 12).as("hv"))
-        .distinct()
-      val bench = h.where(col("doc_id") % 50 === 0).select("hv").distinct()
-      h.where(col("doc_id") % 50 =!= 0)
-        .join(bench, Seq("hv"), "left_semi")
+        .groupBy("hv")
+        .agg(
+          max(when(col("doc_id") % 50 === 0, 1).otherwise(0)).as("is_bench"),
+          collect_set(when(col("doc_id") % 50 =!= 0, col("doc_id"))).as("train_ids"))
+        .where(col("is_bench") === 1)
+      overlap
+        .select(explode(col("train_ids")).as("doc_id"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_overlap"))
     },
