@@ -58,6 +58,28 @@ object Warmup {
           length(col("b")).cast("long").as("byte_len"),
           lower(hex(substring(col("b"), 1, 8))).as("header_hex"),
           lit("x").as("mime")))
-    } catch { case _: Throwable => () }
+      // ANN/IVF shapes (l2_sq + dot_scaled codegen, broadcast cross
+      // join + min(struct) argmin, posexplode + DECIMAL mean, ranked
+      // windows) that the llm_ann_* queries compile — a 32-vector
+      // index build+search moves those first compiles out of
+      // llm_ann_ivf_centroids' timed window (the round-4
+      // llm_multimodal_meta fix, same anomaly class: 1.7 s bench row
+      // for a 0.95 s steady-state query)
+      locally {
+        val e = Tables.embeddings(spark, sfDir).limit(32)
+        val ix = graft.ops.Ivf.buildIndex(e, k = 2)
+        graft.ops.Ivf.search(spark, e, ix.assignments, ix.centroids,
+          e.limit(2), k = 3, nprobe = 2)
+          .write.mode("overwrite").format("noop").save()
+        ix.release()
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // a degraded warmup silently re-absorbs first-compile codegen
+        // cost into the first measured query — the exact anomaly class
+        // rounds 3/4 spent turns diagnosing; say so instead
+        Console.err.println(s"[warmup] DEGRADED (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}) — first measured query will absorb codegen cost")
+    }
   }
 }

@@ -22,6 +22,26 @@ class IvfSpec extends SparkSpec {
     assert(a1.exceptAll(a2).isEmpty && a2.exceptAll(a1).isEmpty)
   }
 
+  test("multi-pass build matches the fused single-pass plan and release frees its blocks") {
+    val e = Tables.embeddings(spark, sf)
+    // iterations = 2 takes the collect-and-restart path with the lazy
+    // localCheckpoint; iterations = 1 is the fused zero-checkpoint plan
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ix = Ivf.buildIndex(e, k = 8, iterations = 2)
+    assert(ix.assignments.count() == e.count())
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "checkpointed vector blocks should be persisted")
+    ix.release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"release() left persisted RDDs: $after")
+
+    // fused path: no persisted blocks at all, release is a safe no-op
+    val fused = Ivf.buildIndex(e, k = 8, iterations = 1)
+    assert(fused.assignments.count() == e.count())
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+    fused.release()
+  }
+
   test("search probes cells via equi join and reaches useful recall") {
     val e = Tables.embeddings(spark, sf)
     val (assign, centroids) = Ivf.build(e, k = 8)
