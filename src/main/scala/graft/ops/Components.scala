@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list by min-label propagation to a
+  * FIXPOINT — the production path behind the `llm_dedup_cluster` query
+  * (queries/LlmOps.scala), whose inline 2-round form is exact only for
+  * clusters of diameter ≤ 2 and documents this loop as the general
+  * case. Pregel-style: each round is ONE shuffle (join labels to edge
+  * endpoints + min-aggregate), and labels only ever decrease, so the
+  * changed-count convergence guard is exact.
+  *
+  * Scale: state per round is |V| labels + the (checkpointed-once) edge
+  * list; rounds = cluster diameter (near-dup clusters: single digits).
+  * The per-round driver action is a COUNT — O(1) result rows — not a
+  * data collect. Lineage is cut every round by a localCheckpoint, and
+  * the previous round's blocks are unpersisted as soon as they are
+  * superseded, so memory held is 2 label snapshots + 1 edge list
+  * regardless of round count. */
+object Components {
+
+  /** A converged labeling: `components(id, component)` where component
+    * is the minimum vertex id reachable from `id`; `iterations` rounds
+    * were run; [[release]] drops the localCheckpoint blocks backing
+    * both the edge list and the final labels — call it when done. */
+  final case class Labels(components: DataFrame, iterations: Int,
+      release: () => Unit)
+
+  /** Run to fixpoint over `edges(src, dst)` (treated as undirected;
+    * both orientations and self-loops are added internally, so every
+    * endpoint labels itself even when isolated). Ids may be any
+    * orderable type. Throws if `maxIterations` rounds do not converge —
+    * silently-partial clusters would corrupt dedup canonicalization. */
+  def run(edges: DataFrame, maxIterations: Int = 50): Labels = {
+    // symmetrize via one explode (per the llm_dedup_cluster lineage
+    // note: a 2-branch union would re-evaluate the candidate pipeline
+    // per branch), add self-loops, dedup — then checkpoint ONCE: the
+    // edge list is re-consumed every round.
+    val sym = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val e = sym.unionByName(sym.select(col("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(false) // lazy: round 1 below materializes it
+    var labelsCp = e.groupBy("src").agg(min("dst").as("label"))
+      .localCheckpoint(false)
+    var labels = labelsCp // (src, label) view of the current checkpoint
+    var iter = 1
+    var changed = 1L
+    while (changed > 0) {
+      if (iter >= maxIterations) {
+        Checkpoints.release(labelsCp); Checkpoints.release(e)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIterations rounds")
+      }
+      // label(v) ← min over neighbors u of label(u); the self-loop row
+      // (dst = src) both includes v's own label in the min AND carries
+      // it out as `prev`, so the convergence count needs NO second join
+      // against the previous snapshot — one shuffle per round. Labels
+      // are monotone non-increasing, so `<` counts all changes.
+      // `next` stays the RAW checkpointed Dataset — release() walks its
+      // analyzed plan for the LogicalRDD, which any wrapping Project
+      // (select/withColumnRenamed) would hide.
+      val next = e.join(labels.withColumnRenamed("src", "dst"), Seq("dst"))
+        .groupBy("src")
+        .agg(min("label").as("label"),
+          min(when(col("dst") === col("src"), col("label"))).as("prev"))
+        .localCheckpoint(false)
+      // this count is the round's ONLY action: it materializes next's
+      // checkpoint blocks and computes the convergence guard in one job
+      changed = next.where(col("label") < col("prev")).count()
+      Checkpoints.release(labelsCp) // superseded snapshot
+      labelsCp = next
+      labels = next.select("src", "label")
+      iter += 1
+    }
+    val finalCp = labelsCp
+    Labels(labels.select(col("src").as("id"), col("label").as("component")),
+      iter, { () => Checkpoints.release(finalCp); Checkpoints.release(e) })
+  }
+}
+
+/** Unpersist the block-manager blocks behind a localCheckpoint'd
+  * DataFrame: its analyzed plan is a LogicalRDD over the persisted RDD —
+  * `Dataset.unpersist` only covers cacheManager entries and silently
+  * no-ops on checkpoint blocks. */
+private[ops] object Checkpoints {
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

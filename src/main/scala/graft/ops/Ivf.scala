@@ -59,17 +59,6 @@ object Ivf {
     (ix.assignments, ix.centroids)
   }
 
-  /** Unpersist the block-manager blocks behind a localCheckpoint'd
-    * DataFrame: its analyzed plan is a LogicalRDD over the persisted
-    * RDD — `Dataset.unpersist` only covers cacheManager entries and
-    * silently no-ops on checkpoint blocks. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
-
   /** One Lloyd refinement: exact per-(cell, position) means — DECIMAL
     * sum (order-independent) cast to double BEFORE the division, so the
     * mean is one IEEE double division, engine-portable (decimal
@@ -160,7 +149,7 @@ object Ivf {
       assigned = assign(vectors, centroids)
     }
     Index(assigned.select("vec_id", "cell"), centroids,
-      () => releaseCheckpoint(vectors))
+      () => Checkpoints.release(vectors))
   }
 
   /** iterations == 1 build as one lazy plan (see [[buildIndex]] doc).

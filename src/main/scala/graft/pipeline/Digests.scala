@@ -39,9 +39,15 @@ object Digests {
   /** H3 composite feed digest (import.js:200-227):
     * digest(zipDigest ++ concat(digestFile(f) for f in dir, sorted,
     * dotfiles excluded)); missing dir (ENOENT) or empty dir → the zip
-    * digest alone. Deterministic listing order = sorted by name. */
-  def compositeFeedDigest(feedFile: Path, postprocessingDir: Option[Path]): String = {
+    * digest alone. Deterministic listing order = sorted by name. The
+    * preprocess script (import.sh:32-35 analog), when present, is
+    * digested FIRST — it runs before the postprocessing scripts, and
+    * editing it must change the digest just like editing them does. */
+  def compositeFeedDigest(feedFile: Path, postprocessingDir: Option[Path],
+      preprocessScript: Option[Path] = None): String = {
     val zipDigest = digestFile(feedFile)
+    val preDigest: Seq[String] =
+      preprocessScript.filter(Files.isRegularFile(_)).map(digestFile).toSeq
     val scriptDigests: Seq[String] = postprocessingDir match {
       case Some(dir) if Files.isDirectory(dir) =>
         Using.resource(Files.list(dir)) { s =>
@@ -53,8 +59,9 @@ object Digests {
         }.map(n => digestFile(dir.resolve(n)))
       case _ => Seq.empty                     // ENOENT tolerated (import.js:216-218)
     }
-    if (scriptDigests.isEmpty) zipDigest
-    else digestString(zipDigest + scriptDigests.mkString)
+    val all = preDigest ++ scriptDigests
+    if (all.isEmpty) zipDigest
+    else digestString(zipDigest + all.mkString)
   }
 
   /** H4 DB name derivation: <prefix><unixSeconds>_<digest6>

@@ -38,6 +38,13 @@ object Import {
       userAgent: String = "",                 // mandatory when feedUrl is set
       postprocessingDir: Option[Path] = None, // hashed into digest (H3) AND executed (§2.11)
       preprocess: Option[Clean.Feed => Clean.Feed] = None, // C19 hook
+      // C19 shell-out analog of /etc/gtfs/preprocess.sh
+      // (/root/reference/import.sh:32-35): an executable run over the
+      // extracted CSV dir BEFORE cleaning, so a reference deployment's
+      // preprocess.sh migrates unchanged. Hashed into the feed digest
+      // (like postprocessing.d) so editing the script defeats
+      // skip-if-unchanged.
+      preprocessScript: Option[Path] = None,
       postprocessSql: Seq[String] = Seq.empty, // run via spark.sql on entity views
       cleanConfig: Clean.Config = Clean.Config(),
       determineDbsToRetain: Retention.Policy = Retention.newestTwo,
@@ -118,9 +125,11 @@ object Import {
         }
       }
 
-      // H3/P6: composite digest of feed + postprocessing scripts.
+      // H3/P6: composite digest of feed + preprocess + postprocessing
+      // scripts — any script edit changes the digest and defeats P5.
       val feedDigest = Digests.compositeFeedDigest(
-        feedArchiveOrDirDigestSource(staged), cfg.postprocessingDir)
+        feedArchiveOrDirDigestSource(staged), cfg.postprocessingDir,
+        cfg.preprocessScript)
 
       // persist the reconciliation + retention effects, then decide skip
       val latest = live.filter(i => retained.contains(i.dbName))
@@ -234,6 +243,13 @@ object Import {
       dbPath: Path): Clean.Feed = {
     val extractDir = cfg.tmpDir.resolve("extracted")
     extractFeed(staged, extractDir)
+    // preprocess.sh analog (import.sh:32-35): mutate the extracted CSVs
+    // in place before any of them are read
+    cfg.preprocessScript.filter(Files.isRegularFile(_)).foreach { script =>
+      if (!Files.isExecutable(script)) throw new IllegalStateException(
+        s"preprocess script ${script.getFileName} is not executable — chmod +x it")
+      runScript(script, extractDir, dbPath)
+    }
     implicit val s: SparkSession = spark
     var feed = readFeed(spark, extractDir)
     feed = lowerLangCodes(feed)           // L2 (import.sh:125)
@@ -256,12 +272,12 @@ object Import {
   /** §2.11: execute a postprocessing.d directory
     * (/root/reference/import.sh:134-148). `*.sql` files run
     * statement-by-statement via spark.sql against the registered entity
-    * views (the psql -b -1 analog; statements split on `;` — GTFS
-    * postprocessing SQL does not embed literal semicolons); any other
-    * executable file runs via ProcessBuilder with the gtfs dir as
-    * argv[1] (reference parity) and the import db dir as argv[2] (our
-    * PGDATABASE analog, also exported as GRAFT_DB_PATH). Filename order;
-    * dotfiles excluded, mirroring the digest's P6 rule. */
+    * views (the psql -b -1 analog; statements split quote-aware — see
+    * [[splitSqlStatements]]); any other executable file runs via
+    * ProcessBuilder with the gtfs dir as argv[1] (reference parity) and
+    * the import db dir as argv[2] (our PGDATABASE analog, also exported
+    * as GRAFT_DB_PATH). Filename order; dotfiles excluded, mirroring the
+    * digest's P6 rule. */
   private[pipeline] def runPostprocessingDir(spark: SparkSession,
       dirOpt: Option[Path], gtfsDir: Path, dbPath: Path): Unit =
     dirOpt.filter(Files.isDirectory(_)).foreach { dir =>
@@ -273,19 +289,10 @@ object Import {
       }
       entries.foreach { f =>
         if (f.getFileName.toString.endsWith(".sql"))
-          Files.readString(f).split(";").map(_.trim).filter(_.nonEmpty)
-            .foreach(execSql(spark, _))
-        else if (Files.isExecutable(f)) {
-          val pb = new ProcessBuilder(f.toAbsolutePath.toString,
-            gtfsDir.toString, dbPath.toString)
-          pb.environment().put("GRAFT_DB_PATH", dbPath.toString)
-          pb.redirectErrorStream(true)
-          val proc = pb.start()
-          val out = new String(proc.getInputStream.readAllBytes())
-          val code = proc.waitFor()
-          if (code != 0) throw new IllegalStateException(
-            s"postprocessing script ${f.getFileName} exited $code:\n$out")
-        } else
+          splitSqlStatements(Files.readString(f)).foreach(execSql(spark, _))
+        else if (Files.isExecutable(f))
+          runScript(f, gtfsDir, dbPath)
+        else
           // fail LOUDLY: the file's content is already part of the feed
           // digest (H3/P6), so silently skipping it would both lose the
           // postprocessing and — because chmod +x changes no content —
@@ -295,6 +302,95 @@ object Import {
               "nor executable — chmod +x it or rename it *.sql")
       }
     }
+
+  /** Shell out to a user script with the gtfs dir as argv[1] and the
+    * import db dir as argv[2] (reference executable contract,
+    * import.sh:140-145 and preprocess.sh at import.sh:32-35). Output is
+    * captured and surfaced on failure; a non-zero exit aborts the import
+    * (the orphan dir is reaped by the next run's retention pass). */
+  private def runScript(script: Path, gtfsDir: Path, dbPath: Path): Unit = {
+    val pb = new ProcessBuilder(script.toAbsolutePath.toString,
+      gtfsDir.toString, dbPath.toString)
+    pb.environment().put("GRAFT_DB_PATH", dbPath.toString)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    val code = proc.waitFor()
+    if (code != 0) throw new IllegalStateException(
+      s"script ${script.getFileName} exited $code:\n$out")
+  }
+
+  /** Split a SQL script into statements on `;`, but quote- and
+    * comment-aware — the psql behavior (the reference feeds whole files
+    * to psql, import.sh:142, so a `';'` inside a string literal must
+    * not split). Handles: single-quoted strings with `''` escapes,
+    * double-quoted identifiers, `--` line comments, nested slash-star
+    * block comments, and PostgreSQL `$tag$ … $tag$` dollar quoting.
+    * Comments are preserved inside the statement text (Spark's
+    * parser accepts them); empty statements are dropped. */
+  private[pipeline] def splitSqlStatements(sql: String): Seq[String] = {
+    val stmts = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    val n = sql.length
+    def flush(): Unit = {
+      val s = cur.toString.trim
+      if (s.nonEmpty) stmts += s
+      cur.clear()
+    }
+    while (i < n) {
+      val c = sql.charAt(i)
+      c match {
+        case ';' => flush(); i += 1
+        case '\'' => // single-quoted literal; '' is an escaped quote
+          val start = i; i += 1
+          var done = false
+          while (i < n && !done) {
+            if (sql.charAt(i) == '\'') {
+              if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
+              else { i += 1; done = true }
+            } else i += 1
+          }
+          cur.append(sql.substring(start, i))
+        case '"' => // double-quoted identifier; "" is an escaped quote
+          val start = i; i += 1
+          var done = false
+          while (i < n && !done) {
+            if (sql.charAt(i) == '"') {
+              if (i + 1 < n && sql.charAt(i + 1) == '"') i += 2
+              else { i += 1; done = true }
+            } else i += 1
+          }
+          cur.append(sql.substring(start, i))
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => // line comment
+          val start = i
+          while (i < n && sql.charAt(i) != '\n') i += 1
+          cur.append(sql.substring(start, i))
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' => // block comment (nested, PG-style)
+          val start = i; i += 2
+          var depth = 1
+          while (i < n && depth > 0) {
+            if (i + 1 < n && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') { depth += 1; i += 2 }
+            else if (i + 1 < n && sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') { depth -= 1; i += 2 }
+            else i += 1
+          }
+          cur.append(sql.substring(start, i))
+        case '$' => // possible dollar-quote opener: $tag$ where tag is [A-Za-z0-9_]*
+          var j = i + 1
+          while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+          if (j < n && sql.charAt(j) == '$') {
+            val tag = sql.substring(i, j + 1) // includes both '$'s
+            val close = sql.indexOf(tag, j + 1)
+            val end = if (close < 0) n else close + tag.length
+            cur.append(sql.substring(i, end))
+            i = end
+          } else { cur.append(c); i += 1 }
+        case _ => cur.append(c); i += 1
+      }
+    }
+    flush()
+    stmts.result()
+  }
 
   /** C18: persist the cleaning log alongside the import (the
     * `tidied.gtfs.gtfstidy-log.txt` artifact, import.sh:105-109). */

@@ -466,6 +466,40 @@ object LlmOps {
         .select(col("src").as("vec_id"), col("cluster"))
     },
 
+    // The PRODUCTION form of the above: ops.Components iterates the
+    // same min-label join to a FIXPOINT (changed-count guard, per-round
+    // lineage cut), exact at ANY cluster diameter. Oracle = transitive
+    // closure via recursive CTE, so the driver checks true connectivity,
+    // not a fixed round count. (The checkpoint blocks behind the result
+    // are deliberately not released here: the consumer reads the result
+    // after this function returns; bench/verify sessions exit after.)
+    "llm_cluster_fixpoint" -> QueryDef(
+      doc = "near-dup clusters via fixpoint min-label propagation (ops.Components)",
+      oracle = s"""
+        |WITH RECURSIVE $cosineCandCtes, edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM cand
+        |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM cand
+        |  UNION ALL SELECT vec_id AS src, vec_id AS dst FROM embeddings
+        |), reach AS (
+        |  SELECT src, dst AS lbl FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst AS lbl FROM reach r JOIN edges e ON e.src = r.lbl
+        |)
+        |SELECT src AS vec_id, min(lbl) AS component
+        |FROM reach GROUP BY src
+        |ORDER BY vec_id
+        |""") { (s, d) =>
+      val cand = graft.ops.CosineLsh.candidates(
+        Tables.embeddings(s, d), bitsPerBand = 6, nBands = 2)
+      val verts = Tables.embeddings(s, d).select(col("vec_id"))
+      // Components symmetrizes and self-loops internally; the vertex
+      // self-edges make isolated vectors singleton clusters
+      val edges = cand.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .unionByName(verts.select(col("vec_id").as("src"), col("vec_id").as("dst")))
+      graft.ops.Components.run(edges).components
+        .select(col("id").as("vec_id"), col("component"))
+    },
+
     // Scalar (per-dimension min/max) int8 quantization of the embedding
     // column — 4× storage compression for corpus-scale vector stores.
     // The quantizer table is one row per DIMENSION (bounded, broadcast);

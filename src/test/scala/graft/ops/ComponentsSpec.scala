@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Fixpoint connected components: converges past the 2-round inline
+  * query's diameter-2 contract, releases its checkpoint blocks, and
+  * refuses to return silently-partial clusters. */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diameter-4 chain converges to one component (needs >2 rounds)") {
+    // a-b-c-d-e chain: min-label needs ~4 propagation rounds — the exact
+    // case the inline 2-round llm_dedup_cluster form documents as out of
+    // its contract
+    val edges = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"),
+      ("x", "y")) // second cluster, plus z isolated via self-edge
+      .toDF("src", "dst")
+      .unionByName(Seq(("z", "z")).toDF("src", "dst"))
+    val got = Components.run(edges)
+    val byId = got.components.as[(String, String)].collect().toMap
+    assert(byId == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "e" -> "a", "x" -> "x", "y" -> "x", "z" -> "z"))
+    assert(got.iterations > 2, s"chain must need >2 rounds, took ${got.iterations}")
+    got.release()
+  }
+
+  test("agrees with the 2-round form on diameter-≤2 clusters") {
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("src", "dst")
+    val got = Components.run(edges)
+    val byId = got.components.as[(Long, Long)].collect().toMap
+    assert(byId == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    got.release()
+  }
+
+  test("release() drops every checkpoint block; blocks stay bounded mid-run") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Components.run(edges, maxIterations = 64)
+    assert(got.components.where(col("component") === 1L).count() == 8)
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // per-round releases keep the footprint at edge list + ≤2 label
+    // snapshots no matter how many rounds ran
+    assert(during.size <= 3, s"unreleased intermediate rounds: $during")
+    got.release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"release() left persisted RDDs: $after")
+  }
+
+  test("non-convergence within maxIterations fails loudly") {
+    val edges = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"))
+      .toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Components.run(edges, maxIterations = 2)
+    }
+  }
+}

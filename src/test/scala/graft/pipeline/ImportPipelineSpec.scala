@@ -341,6 +341,63 @@ class ImportPipelineSpec extends SparkSpec {
       "script must have received an extracted gtfs directory")
   }
 
+  test("C19 preprocess script: runs over extracted CSVs pre-clean, digest-coupled") {
+    val root = Files.createTempDirectory("store-pre")
+    val feed = TestFeed.writeTo(Files.createTempDirectory("fpre"))
+    var clock = 1700002000L
+    def cfg(script: Option[Path], tag: String) =
+      mkCfg(root, feed, tag).copy(preprocessScript = script,
+        now = () => { clock += 10; clock })
+    // the script edits a referenced stop's name IN THE EXTRACTED CSVs —
+    // the effect must flow through cleaning into the published import
+    // (reference: /etc/gtfs/preprocess.sh over $gtfs_path pre-gtfsclean)
+    val script = Files.createTempDirectory("pre").resolve("preprocess.sh")
+    Files.writeString(script,
+      "#!/bin/sh\nsed -i 's/Zoologischer Garten/Preprocessed Garten/' \"$1/stops.txt\"\n")
+    script.toFile.setExecutable(true)
+    val r1 = Import.importGtfsAtomically(spark, cfg(Some(script), "a"))
+    assert(!r1.importSkipped)
+    val db = MetaStore(root.toString).databasePath(r1.newImport.get.dbName)
+    val stops = spark.read.parquet(db.resolve("stops").toString)
+    import org.apache.spark.sql.functions.col
+    assert(stops.where(col("stop_name") === "Preprocessed Garten").count() == 1,
+      "preprocess script's CSV edit visible in the published import")
+    // same feed + same script → P5 skip still works
+    val r2 = Import.importGtfsAtomically(spark, cfg(Some(script), "b"))
+    assert(r2.importSkipped)
+    // editing the script changes the composite digest → re-import (H3)
+    Files.writeString(script,
+      "#!/bin/sh\nsed -i 's/Zoologischer Garten/Other Garten/' \"$1/stops.txt\"\n")
+    val r3 = Import.importGtfsAtomically(spark, cfg(Some(script), "c"))
+    assert(!r3.importSkipped, "edited preprocess script must defeat skip-if-unchanged")
+    // forgot chmod +x → fail loudly (the content is already digested, so
+    // silently skipping would make the fix invisible to P5 forever)
+    val bad = Files.createTempDirectory("prebad").resolve("preprocess.sh")
+    Files.writeString(bad, "#!/bin/sh\nexit 0\n")
+    val e = intercept[IllegalStateException] {
+      Import.importGtfsAtomically(spark, cfg(Some(bad), "d"))
+    }
+    assert(e.getMessage.contains("chmod"), e.getMessage)
+  }
+
+  test("postprocessing SQL with a quoted ';' splits correctly (psql whole-file parity)") {
+    val root = Files.createTempDirectory("store-semi")
+    val feed = TestFeed.writeTo(Files.createTempDirectory("fsemi"))
+    val pp = Files.createTempDirectory("pp-semi")
+    Files.writeString(pp.resolve("10-semi.sql"),
+      """-- a comment with a ; that must not split
+        |CREATE OR REPLACE TEMPORARY VIEW pp_semi AS
+        |SELECT ';' AS semi, 'it''s; fine' AS escaped /* block ; comment */;
+        |SELECT * FROM pp_semi""".stripMargin)
+    val r = Import.importGtfsAtomically(spark,
+      mkCfg(root, feed, "semi").copy(postprocessingDir = Some(pp),
+        now = () => 1700002500L))
+    assert(!r.importSkipped)
+    val row = spark.sql("SELECT semi, escaped FROM pp_semi").head()
+    assert(row.getString(0) == ";")
+    assert(row.getString(1) == "it's; fine")
+  }
+
   test("T1: a stale lockfile from a crashed importer does not wedge the next run") {
     val root = Files.createTempDirectory("store-stale")
     val store = MetaStore(root.toString)

@@ -3,6 +3,82 @@ package graft.sinks
 import graft.SparkSpec
 import JdbcSink.JdbcTarget
 
+/** A stand-in CopyManager: accepts the streamed COPY CSV bytes and
+  * applies them to the table with plain JDBC INSERTs on the same
+  * connection — so the spec exercises every real piece of the fast path
+  * (DDL from the DataFrame schema, per-partition connections, CSV
+  * encoding, COPY command text) without a PostgreSQL server. An object
+  * so executor threads (same JVM in local mode) share the instance. */
+object FakeCopy extends JdbcSink.CopyProvider {
+  val seenSql = new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** COPY CSV field decode: unquoted empty → NULL (None); quoted fields
+    * unescape `""`; bare fields taken verbatim. */
+  def parseCsvLine(line: String): Seq[Option[String]] = {
+    val out = Vector.newBuilder[Option[String]]
+    var i = 0
+    val n = line.length
+    while (i <= n) {
+      if (i < n && line.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        var done = false
+        while (!done) {
+          if (line.charAt(i) == '"') {
+            if (i + 1 < n && line.charAt(i + 1) == '"') { sb.append('"'); i += 2 }
+            else { i += 1; done = true }
+          } else { sb.append(line.charAt(i)); i += 1 }
+        }
+        out += Some(sb.toString)
+        i += 1 // skip the comma (or step past end)
+      } else {
+        val end = line.indexOf(',', i)
+        val stop = if (end < 0) n else end
+        out += (if (stop == i) None else Some(line.substring(i, stop)))
+        i = stop + 1
+      }
+    }
+    out.result()
+  }
+
+  def open(conn: java.sql.Connection, copySql: String): JdbcSink.CopyStream = {
+    seenSql.set(copySql)
+    val table = copySql.stripPrefix("COPY ").takeWhile(_ != ' ')
+    val baos = new java.io.ByteArrayOutputStream()
+    new JdbcSink.CopyStream {
+      def write(bytes: Array[Byte], off: Int, len: Int): Unit =
+        baos.write(bytes, off, len)
+      def end(): Long = {
+        val lines = new String(baos.toByteArray, "UTF-8")
+          .split("\n").filter(_.nonEmpty)
+        val meta = scala.util.Using.resource(conn.createStatement()) { st =>
+          val rs = st.executeQuery(s"SELECT * FROM $table WHERE 1=0")
+          val md = rs.getMetaData
+          (1 to md.getColumnCount).map(md.getColumnType)
+        }
+        val ph = meta.indices.map(_ => "?").mkString(", ")
+        scala.util.Using.resource(
+          conn.prepareStatement(s"INSERT INTO $table VALUES ($ph)")) { ps =>
+          lines.foreach { l =>
+            parseCsvLine(l).zipWithIndex.foreach { case (v, ix) =>
+              import java.sql.Types._
+              (v, meta(ix)) match {
+                case (None, ty) => ps.setNull(ix + 1, ty)
+                case (Some(s), INTEGER | SMALLINT) => ps.setInt(ix + 1, s.toInt)
+                case (Some(s), BIGINT) => ps.setLong(ix + 1, s.toLong)
+                case (Some(s), DOUBLE | FLOAT | REAL) => ps.setDouble(ix + 1, s.toDouble)
+                case (Some(s), _) => ps.setString(ix + 1, s)
+              }
+            }
+            ps.executeUpdate()
+          }
+        }
+        lines.length.toLong
+      }
+    }
+  }
+}
+
 /** K1 bulk load exercised end-to-end against embedded Derby (the JDBC
   * engine shipped with Spark) — write a feed entity, read it back. */
 class JdbcSinkSpec extends SparkSpec {
@@ -52,6 +128,48 @@ class JdbcSinkSpec extends SparkSpec {
     intercept[Exception] {
       JdbcSink.readTable(spark, target, "gtfs_1_ab.t").count()
     }
+  }
+
+  test("K1 COPY fast path: partitions stream CSV through the provider into the table") {
+    import FakeCopy.parseCsvLine
+    // quote-escaping, NULL vs empty string, numerics — the encodings
+    // that differ between COPY CSV and naive join-on-comma
+    val docs = Seq(
+      ("d1", Some("he said \"hi\", twice"), 5, 1.5),
+      ("d2", None, 7, 2.5),
+      ("d3", Some(""), 9, 3.5))
+      .toDF("id", "body", "n", "score")
+    val t = target.copy(copyProvider = Some(FakeCopy))
+    JdbcSink.writeTable(docs, t, "copydocs")
+    val back = JdbcSink.readTable(spark, target, "copydocs")
+    assert(back.count() == 3)
+    assert(back.where($"body".isNull).select("id").as[String].collect().toSet == Set("d2"),
+      "unquoted empty field decodes as NULL")
+    assert(back.where($"body" === "").select("id").as[String].collect().toSet == Set("d3"),
+      "quoted empty field stays an empty string, distinct from NULL")
+    assert(back.where($"id" === "d1").select("body").as[String].head() ==
+      "he said \"hi\", twice", "doubled-quote escapes round-trip")
+    assert(back.where($"id" === "d1").select("score").as[Double].head() == 1.5)
+    // overwrite = fresh creation, same as the INSERT path
+    JdbcSink.writeTable(docs.limit(1), t, "copydocs")
+    assert(JdbcSink.readTable(spark, target, "copydocs").count() == 1)
+    // the provider saw a well-formed COPY command
+    assert(FakeCopy.seenSql.get().startsWith("COPY copydocs (\"id\", \"body\""),
+      FakeCopy.seenSql.get())
+    // sanity on the parser itself
+    assert(parseCsvLine("a,\"b\"\"c\",,\"\"") ==
+      Seq(Some("a"), Some("b\"c"), None, Some("")))
+  }
+
+  test("non-PG URLs keep the batched-INSERT fallback (no provider invoked)") {
+    FakeCopy.seenSql.set("")
+    val df = Seq(("x", 1)).toDF("a", "b")
+    JdbcSink.writeTable(df, target, "fallback_t") // Derby target, no provider
+    assert(JdbcSink.readTable(spark, target, "fallback_t").count() == 1)
+    assert(FakeCopy.seenSql.get().isEmpty)
+    assert(target.effectiveCopyProvider.isEmpty, "Derby URL must not auto-enable COPY")
+    assert(JdbcTarget("jdbc:postgresql://h/db").effectiveCopyProvider
+      .contains(JdbcSink.PgCopyProvider), "PG URL auto-enables the COPY path")
   }
 
   test("dropSchema reaps a schema that never received tables") {
