@@ -363,24 +363,38 @@ object Clean {
     val span = days.groupBy("service_id")
       .agg(min("svc_date").as("d0"), max("svc_date").as("d1"),
         count(lit(1)).as("n_dates"))
-    val range = span.select(col("service_id"),
-      explode(expr("sequence(d0, d1, interval 1 day)")).as("rd"))
-    val possible = range
-      .groupBy(col("service_id"), expr("weekday(rd)").as("dow"))
-      .agg(count(lit(1)).as("n_possible"))
+    // occurrences of weekday `dow` in [d0, d1] in CLOSED FORM — a
+    // day-granular explode of the span (the obvious formulation) fans
+    // out span-length rows per service and re-aggregates them, paying a
+    // corpus-scale shuffle to count what arithmetic already knows:
+    // first occurrence offset o = (dow − weekday(d0)) mod 7, then
+    // 1 + ⌊(len − 1 − o) / 7⌋ occurrences if o < len else 0. Rows with
+    // zero occurrences are dropped to match the expansion exactly
+    // (their absence is what keeps a never-possible dow out of the
+    // mask when the span is shorter than a week).
+    val possible = span
+      .select(col("service_id"), col("d0"), col("d1"),
+        explode(expr("sequence(0, 6)")).as("dow"))
+      .withColumn("o", (col("dow") - expr("weekday(d0)") + 7) % 7)
+      .withColumn("len", datediff(col("d1"), col("d0")) + 1)
+      .where(col("o") < col("len"))
+      .select(col("service_id"), col("dow"),
+        (lit(1) + floor((col("len") - 1 - col("o")) / 7)).as("n_possible"))
     val actual = days
       .groupBy(col("service_id"), expr("weekday(svc_date)").as("dow"))
       .agg(count(lit(1)).as("n_actual"))
     val maskDf = possible.join(actual, Seq("service_id", "dow"), "left")
       .withColumn("in_mask", coalesce(col("n_actual"), lit(0)) === col("n_possible"))
+    // ONE aggregation carries both the 7 mask bits and the covered
+    // count (they were two groupBys over the same frame — the second
+    // paid a full extra pass + join for one column)
     val dowAggs = (0 to 6).map(dw =>
       max(when(col("dow") === dw && col("in_mask"), 1).otherwise(0)).as(s"dow_$dw"))
-    val mask = maskDf.groupBy("service_id")
-      .agg(dowAggs.head, dowAggs.tail: _*)
+    val maskCov = maskDf.groupBy("service_id")
+      .agg(dowAggs.head, (dowAggs.tail :+
+        sum(when(col("in_mask"), col("n_actual")).otherwise(0)).as("n_covered")): _*)
       .withColumn("mask_arr", array((0 to 6).map(dw => col(s"dow_$dw")): _*))
-    val covered = maskDf.groupBy("service_id")
-      .agg(sum(when(col("in_mask"), col("n_actual")).otherwise(0)).as("n_covered"))
-    val enc = span.join(mask, "service_id").join(covered, "service_id")
+    val enc = span.join(maskCov, "service_id")
       .withColumn("cost_cal", lit(1) + (col("n_dates") - col("n_covered")))
       .withColumn("use_calendar",
         col("cost_cal") < col("n_dates") && col("n_covered") > 0)
