@@ -737,6 +737,46 @@ object LlmOps {
           .as("fingerprint"))
     },
 
+    // Repetition filter (the Gopher/MassiveText-style quality gate):
+    // a document whose single most frequent 3-gram carries ≥20% of its
+    // total shingle mass is boilerplate/degenerate. Integer comparison
+    // (max*5 ≥ total) — no ratio arithmetic to diverge across engines.
+    // Scale: ONE exchange — the fanout partitions by doc_id, and both
+    // aggregations (per-(doc,shingle) counts, then per-doc stats) are
+    // satisfied by that partitioning, so they run narrow above it; state
+    // per group is bounded by doc length.
+    "llm_repetition_filter" -> QueryDef(
+      doc = "repetition filter: top 3-gram frequency vs total shingle mass",
+      oracle = s"""
+        |WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), shing AS (
+        |  $shingleSql
+        |), freq AS (
+        |  SELECT doc_id, sh, count(*) AS c FROM shing GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_shingles,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(max(c) AS BIGINT) AS max_freq,
+        |       CAST(CASE WHEN max(c) * 5 >= sum(c) THEN 1 ELSE 0 END AS BIGINT)
+        |         AS repetitive
+        |FROM freq GROUP BY doc_id
+        |ORDER BY doc_id
+        |""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+      fanout(docs.select(col("doc_id"), explode(shingles(col("toks"))).as("sh")),
+        col("doc_id"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_shingles"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("max_freq"),
+          when(max("c") * 5 >= sum("c"), 1L).otherwise(0L).as("repetitive"))
+    },
+
     // Winnowing (MOSS-style) fingerprints: the min shingle-hash of every
     // sliding window of 4 consecutive shingles, deduplicated per doc.
     // Guarantees any sufficiently long match between two docs shares a
