@@ -84,6 +84,38 @@ object Multimodal {
     })
   }
 
+  /** Resize: nearest-neighbor downsample of the payload treated as a
+    * width×height byte grid (the stub codec's "pixel" layout), emitting
+    * a re-encoded blob with the new dimensions in its header — so
+    * resized media flows through the same decode/featurize/frame-sample
+    * operators unchanged. A real implementation swaps only the pixel
+    * math (imageio/ffmpeg); the Dataset shape (map-only, no shuffle,
+    * per-partition batches) is the production plumbing. */
+  def resize(ds: Dataset[Media], newW: Int, newH: Int): Dataset[Media] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { m =>
+      decodeHeader(m.bytes) match {
+        case Some((fmt, w, h, nf, _)) if w > 0 && h > 0 && newW > 0 && newH > 0 =>
+          val payload = payloadOf(m.bytes)
+          val out = new Array[Byte](newW * newH)
+          var y = 0
+          while (y < newH) {
+            val sy = y * h / newH
+            var x = 0
+            while (x < newW) {
+              val sx = x * w / newW
+              val src = sy * w + sx
+              out(y * newW + x) = if (src < payload.length) payload(src) else 0
+              x += 1
+            }
+            y += 1
+          }
+          Media(m.mediaId, encodeFake(fmt, newW, newH, nf, out))
+        case _ => m // undecodable or degenerate: pass through untouched
+      }
+    })
+  }
+
   /** Frame sampling: every `everyN`-th frame of a fake video payload
     * (frames are equal slices, per the stub codec). */
   def frameSample(ds: Dataset[Media], everyN: Int): Dataset[Frame] = {

@@ -32,6 +32,24 @@ class MultimodalSpec extends SparkSpec {
     assert(f.take(10).forall(v => math.abs(v - 0.1f) < 1e-5))
   }
 
+  test("resize downsamples the pixel grid and re-encodes; output re-decodes") {
+    // 4x4 grid with row-major values 0..15; nearest-neighbor to 2x2
+    // keeps pixels (0,0),(0,2),(2,0),(2,2) = 0,2,8,10
+    val payload = Array.tabulate[Byte](16)(_.toByte)
+    val blob = encodeFake("img", 4, 4, 1, payload)
+    val out = resize(mediaDs(9L -> blob), newW = 2, newH = 2).collect().head
+    assert(decodeHeader(out.bytes).contains(("img", 2, 2, 1, 4)),
+      "resized blob re-decodes with the new dimensions")
+    assert(payloadOf(out.bytes).toSeq == Seq[Byte](0, 2, 8, 10))
+    // undecodable input passes through untouched (PERMISSIVE, like meta)
+    val bad = Array[Byte](9, 9)
+    val same = resize(mediaDs(10L -> bad), 2, 2).collect().head
+    assert(same.bytes.toSeq == bad.toSeq)
+    // resized media flows through the downstream operators unchanged
+    val meta = decodeMeta(resize(mediaDs(9L -> blob), 2, 2)).collect().head
+    assert(meta.width == 2 && meta.height == 2 && meta.valid)
+  }
+
   test("frameSample slices every Nth frame of a fake video") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     val vid = encodeFake("vid", 8, 8, 10, payload)
