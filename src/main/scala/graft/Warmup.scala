@@ -73,6 +73,37 @@ object Warmup {
           .write.mode("overwrite").format("noop").save()
         ix.release()
       }
+      // banded random-hyperplane LSH shapes (sign-bit aggregation, band
+      // keys, bucket self-join): llm_cluster_fixpoint sorts BEFORE the
+      // llm_cosine_* queries, so without this it pays their first
+      // compile inside its own timed row
+      sink((s, d) => graft.ops.CosineLsh.candidates(
+        Tables.embeddings(s, d).limit(32), bitsPerBand = 6, nBands = 2))
+      // fixpoint label-propagation shapes (explode-symmetrize +
+      // checkpoint + join/min-agg rounds) behind llm_cluster_fixpoint —
+      // a 3-edge run compiles every per-round plan shape (round-6:
+      // first bench iteration carried ~1 s of codegen)
+      locally {
+        import spark.implicits._
+        val lbl = graft.ops.Components.run(
+          Seq((1L, 2L), (2L, 3L), (4L, 4L)).toDF("src", "dst"))
+        lbl.components.write.mode("overwrite").format("noop").save()
+        lbl.release()
+      }
+      // minimize-services shapes (sequence-explode over date spans,
+      // weekday/date_format/closed-form dow arithmetic, the mask
+      // aggregation) behind c8_minimize_services — a 4-service feed
+      // compiles them all (round-6: c8's bench row carried ~3 s of
+      // one-time codegen/planning over its 1.9 s steady state)
+      locally {
+        implicit val s: SparkSession = spark
+        import spark.implicits._
+        val cd = Seq((1L, "20240101", 1), (1L, "20240102", 1),
+          (2L, "20240106", 1), (2L, "20240113", 1))
+          .toDF("service_id", "date", "exception_type")
+        graft.gtfs.Clean.minimizeServices(Map("calendar_dates" -> cd))
+          .values.foreach(_.write.mode("overwrite").format("noop").save())
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         // a degraded warmup silently re-absorbs first-compile codegen
