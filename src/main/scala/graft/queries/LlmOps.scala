@@ -737,6 +737,40 @@ object LlmOps {
           .as("fingerprint"))
     },
 
+    // Context-window chunking: split each document into 128-token
+    // chunks on a 96-token stride (32-token overlap) — the step before
+    // sequence packing in a training-data pipeline. Map-only: the
+    // per-doc fan-out is ⌈n/96⌉ (bounded by doc length), no shuffle at
+    // all — the plan is scan → explode → project, embarrassingly
+    // parallel at any corpus size. first_tok anchors each chunk's
+    // content so the oracle checks alignment, not just counts.
+    "llm_chunk_documents" -> QueryDef(
+      doc = "fixed-size token chunking with overlap (context-window prep)",
+      oracle = """
+        |WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(i AS BIGINT) AS chunk_idx,
+        |       CAST(least(len(toks) - i*96, 128) AS BIGINT) AS n_tokens,
+        |       toks[i*96 + 1] AS first_tok
+        |FROM docs,
+        |     unnest(generate_series(0, CAST(floor((len(toks) - 1) / 96) AS INT))) AS t(i)
+        |ORDER BY doc_id, chunk_idx
+        |""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      docs
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(expr("sequence(0, cast(floor((n - 1) / 96) as int))"))
+            .as("ci"))
+        .select(col("doc_id"),
+          col("ci").cast("long").as("chunk_idx"),
+          least(col("n") - col("ci") * 96, lit(128)).cast("long").as("n_tokens"),
+          element_at(col("toks"), (col("ci") * 96 + 1)).as("first_tok"))
+    },
+
     // Repetition filter (the Gopher/MassiveText-style quality gate):
     // a document whose single most frequent 3-gram carries ≥20% of its
     // total shingle mass is boilerplate/degenerate. Integer comparison
