@@ -47,6 +47,31 @@ class ComponentsSpec extends SparkSpec {
     assert(after.isEmpty, s"release() left persisted RDDs: $after")
   }
 
+  test("property: agrees with driver-side union-find on random graphs (8 cases)") {
+    val rnd = new scala.util.Random(17)
+    (1 to 8).foreach { case_i =>
+      val nV = 5 + rnd.nextInt(20)
+      val nE = rnd.nextInt(nV * 2)
+      val es = (1 to nE).map(_ => (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      // isolated vertices enter via self-edges, as llm_cluster_fixpoint does
+      val all = es ++ (0L until nV.toLong).map(v => (v, v))
+      // reference: plain union-find, then canonicalize each root to the
+      // min vertex id of its component
+      val parent = Array.tabulate(nV)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOfRoot = (0 until nV).groupBy(find).map { case (r, vs) => r -> vs.min.toLong }
+      val want = (0 until nV).map(v => v.toLong -> minOfRoot(find(v))).toMap
+      val got = Components.run(all.toDF("src", "dst"), maxIterations = 100)
+      val gotMap = got.components.as[(Long, Long)].collect().toMap
+      got.release()
+      assert(gotMap == want, s"case $case_i: nV=$nV nE=$nE edges=$es")
+    }
+  }
+
   test("non-convergence within maxIterations fails loudly") {
     val edges = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"))
       .toDF("src", "dst")
