@@ -358,9 +358,12 @@ object Clean {
         col("start_date"), col("end_date"))
       val exCount = minimized("calendar_dates")
         .groupBy("service_id").agg(count(lit(1)).as("n_exceptions"))
-      days.select("service_id").distinct()
-        .join(calOut, Seq("service_id"), "left")
-        .join(exCount, Seq("service_id"), "left")
+      // every service appears in calendar OR retains exception dates
+      // (a service not worth a weekly mask keeps ALL its dates in
+      // calendar_dates), so the full outer join enumerates exactly the
+      // service set — re-deriving it from the source (a third run of
+      // the scan+explode pipeline) was the query's top remaining cost
+      calOut.join(exCount, Seq("service_id"), "full_outer")
         .select(col("service_id"),
           when(col("mask").isNotNull, 1L).otherwise(0L).as("in_calendar"),
           coalesce(col("mask"), lit("-")).as("mask"),
