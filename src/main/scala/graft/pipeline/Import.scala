@@ -333,9 +333,31 @@ object Import {
     val cur = new StringBuilder
     var i = 0
     val n = sql.length
+    // a segment holding only comments/whitespace (e.g. a trailing
+    // "-- end of file" after the last ';') is not a statement —
+    // spark.sql would throw PARSE_EMPTY_STATEMENT on it
+    def isOnlyComments(s: String): Boolean = {
+      var j = 0
+      val m = s.length
+      while (j < m) {
+        val c = s.charAt(j)
+        if (c.isWhitespace) j += 1
+        else if (c == '-' && j + 1 < m && s.charAt(j + 1) == '-') {
+          while (j < m && s.charAt(j) != '\n') j += 1
+        } else if (c == '/' && j + 1 < m && s.charAt(j + 1) == '*') {
+          var depth = 1; j += 2
+          while (j < m && depth > 0) {
+            if (j + 1 < m && s.charAt(j) == '/' && s.charAt(j + 1) == '*') { depth += 1; j += 2 }
+            else if (j + 1 < m && s.charAt(j) == '*' && s.charAt(j + 1) == '/') { depth -= 1; j += 2 }
+            else j += 1
+          }
+        } else return false
+      }
+      true
+    }
     def flush(): Unit = {
       val s = cur.toString.trim
-      if (s.nonEmpty) stmts += s
+      if (s.nonEmpty && !isOnlyComments(s)) stmts += s
       cur.clear()
     }
     while (i < n) {

@@ -52,4 +52,11 @@ class SqlSplitSpec extends AnyFunSuite {
   test("unterminated quote swallows the rest instead of mis-splitting") {
     assert(split("SELECT 'oops; SELECT 2") == Seq("SELECT 'oops; SELECT 2"))
   }
+
+  test("comment-only segments are not statements") {
+    assert(split("SELECT 1; -- end of file\n") == Seq("SELECT 1"))
+    assert(split("/* header */ SELECT 1; /* trailer */") ==
+      Seq("/* header */ SELECT 1"))
+    assert(split("-- nothing here\n/* at all */") == Seq.empty)
+  }
 }
