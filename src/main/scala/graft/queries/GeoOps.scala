@@ -30,10 +30,10 @@ object GeoOps {
         |)
         |SELECT stop_id,
         |       CAST(floor(((lat - 50.0) * (lat - 50.0)
-        |                 + (lon - 10.0) * (lon - 10.0)) * 1000000) AS BIGINT)
+        |                 + (lon + 43.0) * (lon + 43.0)) * 1000000) AS BIGINT)
         |         AS dist2_scaled
         |FROM stops
-        |WHERE lat BETWEEN 45.0 AND 55.0 AND lon BETWEEN 5.0 AND 15.0
+        |WHERE lat BETWEEN 45.0 AND 55.0 AND lon BETWEEN -45.0 AND -41.0
         |ORDER BY dist2_scaled, stop_id
         |LIMIT 10
         |""") { (s, d) =>
@@ -42,10 +42,10 @@ object GeoOps {
           ((col("c_custkey") % 1800) / 10.0 - 90.0).as("lat"),
           ((col("c_custkey") % 3600) / 10.0 - 180.0).as("lon"))
       stops
-        .where(col("lat").between(45.0, 55.0) && col("lon").between(5.0, 15.0))
+        .where(col("lat").between(45.0, 55.0) && col("lon").between(-45.0, -41.0))
         .select(col("stop_id"),
           floor(((col("lat") - 50.0) * (col("lat") - 50.0) +
-            (col("lon") - 10.0) * (col("lon") - 10.0)) * 1000000)
+            (col("lon") + 43.0) * (col("lon") + 43.0)) * 1000000)
             .cast("long").as("dist2_scaled"))
         .orderBy("dist2_scaled", "stop_id")
         .limit(10)
