@@ -737,6 +737,59 @@ object LlmOps {
           .as("fingerprint"))
     },
 
+    // Per-document top TF-IDF terms (keyword extraction). The score is
+    // EXACT integer arithmetic — (tf · 1000 · N_docs) div df — because
+    // a float log-idf would rank-tie differently across engines at the
+    // margins; the monotone rational surrogate preserves the tf/df
+    // ordering. Two shuffles (term-level df, doc-level tf) + a
+    // WindowGroupLimit top-3; df is a term-level aggregate (vocabulary-
+    // bounded, far below corpus scale) that AQE broadcasts.
+    "llm_tfidf_terms" -> QueryDef(
+      doc = "per-doc top-3 TF-IDF terms, exact integer scoring",
+      oracle = """
+        |WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), tok AS (
+        |  SELECT doc_id, t.tk FROM docs, unnest(toks) AS t(tk)
+        |), tf AS (
+        |  SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), df AS (
+        |  SELECT tk, count(*) AS df FROM (SELECT DISTINCT doc_id, tk FROM tok) GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM docs
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.tk,
+        |         (tf.tf * 1000 * n.n_docs) // df.df AS score
+        |  FROM tf JOIN df USING (tk) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, tk, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, tk) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, tk AS term, CAST(score AS BIGINT) AS score,
+        |       CAST(rn AS BIGINT) AS rank
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rank
+        |""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      val tf = tok.groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      // df rides the SAME (doc_id, tk) aggregation — tf is already the
+      // distinct (doc, term) set, so counting docs per term on top of it
+      // reuses that exchange instead of re-scanning
+      val df_ = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("tk"))
+      tf.join(df_, Seq("tk")).crossJoin(nDocs)
+        .select(col("doc_id"), col("tk"),
+          expr("(tf * 1000 * n_docs) div df").as("score"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("tk").as("term"),
+          col("score").cast("long").as("score"), col("rank"))
+    },
+
     // Context-window chunking: split each document into 128-token
     // chunks on a 96-token stride (32-token overlap) — the step before
     // sequence packing in a training-data pipeline. Map-only: the
