@@ -8,11 +8,16 @@ import org.apache.spark.sql.SparkSession
   * broadcasts only on bounded dims, WholeStageCodegen spans, no
   * cartesian products outside the bounded ANN baseline.
   *
-  * Run: sbt "runMain graft.Explain <sfDir> [query ...]" */
+  * Run: sbt "runMain graft.Explain <sfDir> [query ...]"
+  * With AQE (the default) static explain hides runtime exchange reuse;
+  * pass `-run` before the query names to EXECUTE each query (noop sink)
+  * and print the final adaptive plan instead — ReusedExchange /
+  * ReusedQueryStage only appear there. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val run = args.contains("-run")
+    val names = if (args.length > 1) args.drop(1).toSeq.filterNot(_ == "-run")
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -23,7 +28,15 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (run) {
+        // collect, not a noop write: DataFrameWriter builds its OWN
+        // QueryExecution, so after a write df.queryExecution is still
+        // the unexecuted plan (isFinalPlan=false) — only an action on
+        // the Dataset itself finalizes the adaptive plan we print
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

@@ -90,19 +90,34 @@ object Warmup {
         lbl.components.write.mode("overwrite").format("noop").save()
         lbl.release()
       }
-      // minimize-services shapes (sequence-explode over date spans,
-      // weekday/date_format/closed-form dow arithmetic, the mask
-      // aggregation) behind c8_minimize_services — a 4-service feed
-      // compiles them all (round-6: c8's bench row carried ~3 s of
-      // one-time codegen/planning over its 1.9 s steady state)
+      // minimize-services shapes behind c8_minimize_services: the FULL
+      // query pipeline (28-day sequence explode, 4-variant filter,
+      // minimizeServices mask aggregation, full_outer summary join) on
+      // a 4-row toy input — round-6 warmed minimizeServices alone and
+      // the bench row still carried ~3 s of first-compile cost from the
+      // shapes around it (probe: 5.95 s first vs 2.2 s steady)
       locally {
         implicit val s: SparkSession = spark
         import spark.implicits._
-        val cd = Seq((1L, "20240101", 1), (1L, "20240102", 1),
-          (2L, "20240106", 1), (2L, "20240113", 1))
-          .toDF("service_id", "date", "exception_type")
-        graft.gtfs.Clean.minimizeServices(Map("calendar_dates" -> cd))
-          .values.foreach(_.write.mode("overwrite").format("noop").save())
+        val cal = Seq((0L, "2024-01-01"), (1L, "2024-01-02"),
+          (2L, "2024-01-03"), (3L, "2024-01-04"))
+          .toDF("service_id", "sd0")
+          .select(col("service_id"), col("sd0").cast("date").as("sd"))
+        // AQE OFF for this one warm: on a 4-row input AQE re-plans the
+        // summary full_outer join as a tiny shuffled-hash join, so the
+        // SortMergeJoin-FullOuter codegen the real-scale run needs was
+        // never compiled (round-7 probe: 2 s of first-iteration cost
+        // survived a shape-correct AQE warmup). The static planner
+        // picks SMJ for full_outer at ANY size.
+        val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try graft.queries.Clean.c8Summary(cal)
+          .write.mode("overwrite").format("noop").save()
+        finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        // and once WITH AQE, for the adaptive wrappers (AQEShuffleRead,
+        // stage-level reuse) around the same shapes
+        graft.queries.Clean.c8Summary(cal)
+          .write.mode("overwrite").format("noop").save()
       }
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -359,7 +359,19 @@ object Clean {
   // bounded by the calendar span.
   def minimizeServices(feed: Feed)(implicit spark: SparkSession): Feed = {
     if (!feed.contains("calendar") && !feed.contains("calendar_dates")) return feed
-    val days = Views.serviceDays(feed).select("service_id", "svc_date").distinct()
+    // `days` has FOUR consumers (span ×2 via possible/enc, actual,
+    // newCalDates). serviceDays' repartition(service_id) pins ONE
+    // identical exchange under every consumer: without it their
+    // subtrees canonicalize DIFFERENTLY — RemoveRedundantAggregates
+    // collapses the dedup into `possible`'s min/max lineage but not the
+    // others — so no exchange is ever reused and the upstream expansion
+    // executes once per consumer (round-7 plan audit: 6 scans, 1 after
+    // the fix). The defensive dropDuplicates below collapses to an
+    // in-partition agg (partitioning already satisfies it) instead of a
+    // second shuffle; every downstream groupBy/join here keys on
+    // service_id, so no consumer shuffles again either.
+    val days = Views.serviceDays(feed).select("service_id", "svc_date")
+      .dropDuplicates("service_id", "svc_date")
     val span = days.groupBy("service_id")
       .agg(min("svc_date").as("d0"), max("svc_date").as("d1"),
         count(lit(1)).as("n_dates"))

@@ -45,7 +45,16 @@ object Views {
     val base = (fromCal.toSeq ++ added.toSeq).reduceOption(_ unionByName _)
       .getOrElse(throw new IllegalArgumentException(
         "feed has neither calendar nor calendar_dates"))
-    removed.foldLeft(base.distinct())((b, r) =>
+    // dedup as repartition(service_id) + in-partition dropDuplicates
+    // rather than distinct(): hash-partitioning on service_id satisfies
+    // the dedup's (service_id, svc_date) clustering, so this costs the
+    // SAME single shuffle — but leaves the output partitioned on the
+    // key every consumer groups/joins by (the arrivals star join, V6/V7
+    // stats, and minimizeServices' four `days` consumers all reuse this
+    // one exchange instead of each re-shuffling or re-expanding)
+    val deduped = base.repartition(col("service_id"))
+      .dropDuplicates("service_id", "svc_date")
+    removed.foldLeft(deduped)((b, r) =>
       b.join(r, Seq("service_id", "svc_date"), "left_anti"))
   }
 
