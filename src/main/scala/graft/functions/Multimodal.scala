@@ -84,31 +84,45 @@ object Multimodal {
     })
   }
 
-  /** Resize: nearest-neighbor downsample of the payload treated as a
-    * width×height byte grid (the stub codec's "pixel" layout), emitting
-    * a re-encoded blob with the new dimensions in its header — so
-    * resized media flows through the same decode/featurize/frame-sample
-    * operators unchanged. A real implementation swaps only the pixel
-    * math (imageio/ffmpeg); the Dataset shape (map-only, no shuffle,
-    * per-partition batches) is the production plumbing. */
+  /** Resize: nearest-neighbor downsample of the payload treated as
+    * `nFrames` consecutive width×height byte grids (the stub codec's
+    * "pixel" layout), emitting a re-encoded blob with the new
+    * dimensions in its header — so resized media flows through the same
+    * decode/featurize/frame-sample operators unchanged. Each frame is
+    * resized independently at its `f*w*h` base offset and the output
+    * carries `nFrames` frames of `newW*newH` bytes, so a downstream
+    * [[frameSample]] slices the SAME frame boundaries it would have
+    * before the resize (a single-grid resize that kept nFrames in the
+    * header handed it misaligned pseudo-frames). A real implementation
+    * swaps only the pixel math (imageio/ffmpeg); the Dataset shape
+    * (map-only, no shuffle, per-partition batches) is the production
+    * plumbing. */
   def resize(ds: Dataset[Media], newW: Int, newH: Int): Dataset[Media] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { m =>
       decodeHeader(m.bytes) match {
-        case Some((fmt, w, h, nf, _)) if w > 0 && h > 0 && newW > 0 && newH > 0 =>
+        case Some((fmt, w, h, nf, _)) if w > 0 && h > 0 && nf > 0 &&
+            newW > 0 && newH > 0 =>
           val payload = payloadOf(m.bytes)
-          val out = new Array[Byte](newW * newH)
-          var y = 0
-          while (y < newH) {
-            val sy = y * h / newH
-            var x = 0
-            while (x < newW) {
-              val sx = x * w / newW
-              val src = sy * w + sx
-              out(y * newW + x) = if (src < payload.length) payload(src) else 0
-              x += 1
+          val out = new Array[Byte](newW * newH * nf)
+          var f = 0
+          while (f < nf) {
+            val srcBase = f * w * h
+            val dstBase = f * newW * newH
+            var y = 0
+            while (y < newH) {
+              val sy = y * h / newH
+              var x = 0
+              while (x < newW) {
+                val sx = x * w / newW
+                val src = srcBase + sy * w + sx
+                out(dstBase + y * newW + x) =
+                  if (src < payload.length) payload(src) else 0
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            f += 1
           }
           Media(m.mediaId, encodeFake(fmt, newW, newH, nf, out))
         case _ => m // undecodable or degenerate: pass through untouched

@@ -1085,5 +1085,75 @@ object LlmOps {
           lower(hex(substring(col("blob"), 1, 8))).as("header_hex"),
           lit("text/plain").as("mime"))
     },
+
+    // The resize/decode leg of the multimodal family, oracle-checked:
+    // the stub codec's bytes are deterministic (fixed-layout header +
+    // the text's utf-8 bytes as the "pixel" payload), so DuckDB can
+    // replay the per-frame nearest-neighbor byte arithmetic exactly —
+    // src index f*w*h + (y*h div newH)*w + (x*w div newW), reads past
+    // the (possibly truncated) payload read as 0. The Spark side runs
+    // the REAL Multimodal.resize + decodeMeta Dataset operators
+    // (mapPartitions, map-only); only the blob synthesis is in-query.
+    "llm_multimodal_resize" -> QueryDef(
+      doc = "per-frame nearest-neighbor resize over the stub codec (real resize+decodeMeta ops)",
+      oracle = """
+        |WITH d AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |         octet_length(encode(text)) AS blen,
+        |         4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+        |         1 + doc_id % 3 AS nf
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, nf, w, h, hx, blen, tf.f, ty.y, tx.x,
+        |         tf.f * w * h + ((ty.y * h) // 2) * w + ((tx.x * w) // 3) AS src
+        |  FROM d,
+        |       unnest(generate_series(0, nf - 1)) AS tf(f),
+        |       unnest(generate_series(0, 1)) AS ty(y),
+        |       unnest(generate_series(0, 2)) AS tx(x)
+        |)
+        |SELECT doc_id,
+        |       'img' AS format,
+        |       CAST(3 AS BIGINT) AS width,
+        |       CAST(2 AS BIGINT) AS height,
+        |       nf AS n_frames,
+        |       6 * nf AS byte_len,
+        |       string_agg(
+        |         CASE WHEN src < least(blen, w * h * nf)
+        |              THEN substr(hx, CAST(2 * src + 1 AS INT), 2)
+        |              ELSE '00' END, '' ORDER BY f, y, x) AS payload_hex
+        |FROM px
+        |GROUP BY doc_id, nf
+        |ORDER BY doc_id
+        |""") { (s, d) =>
+      import s.implicits._
+      import graft.functions.Multimodal
+      val w = col("doc_id") % 3 + 4
+      val h = col("doc_id") % 2 + 3
+      val nf = col("doc_id") % 3 + 1
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("tb"),
+          w.as("w"), h.as("h"), nf.as("nf"),
+          (w * h * nf).cast("int").as("plen"))
+        .select(col("doc_id").as("mediaId"),
+          concat(
+            encode(concat_ws("|", lit("GRAFT1"), lit("img"),
+              col("w").cast("string"), col("h").cast("string"),
+              col("nf").cast("string"), lit("")), "utf-8"),
+            expr("substring(tb, 1, plen)")).as("bytes"))
+        .as[Multimodal.Media]
+      val resized = Multimodal.resize(media, newW = 3, newH = 2)
+      // meta via the real decodeMeta; payload bytes re-sliced off the
+      // re-encoded blob by the header-advertised payload length
+      Multimodal.decodeMeta(resized).toDF()
+        .join(resized.toDF(), "mediaId")
+        .select(col("mediaId").as("doc_id"),
+          col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("nFrames").cast("long").as("n_frames"),
+          col("byteLen").cast("long").as("byte_len"),
+          lower(hex(expr("substring(bytes, length(bytes) - byteLen + 1)")))
+            .as("payload_hex"))
+    },
   )
 }

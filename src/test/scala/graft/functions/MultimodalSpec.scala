@@ -50,6 +50,25 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.width == 2 && meta.height == 2 && meta.valid)
   }
 
+  test("resize is per-frame: multi-frame payloads keep aligned frame boundaries") {
+    // 2 frames of a 4x4 grid (values 0..15 and 16..31); per-frame
+    // nearest-neighbor to 2x2 keeps offsets {0,2,8,10} within EACH
+    // frame's base — a single-grid resize would have read only frame
+    // 0's bytes and then handed frameSample misaligned pseudo-frames
+    val payload = Array.tabulate[Byte](32)(_.toByte)
+    val vid = encodeFake("vid", 4, 4, 2, payload)
+    val out = resize(mediaDs(11L -> vid), newW = 2, newH = 2).collect().head
+    assert(decodeHeader(out.bytes).contains(("vid", 2, 2, 2, 8)),
+      "new dims, SAME frame count, payload = newW*newH*nf bytes")
+    assert(payloadOf(out.bytes).toSeq ==
+      Seq[Byte](0, 2, 8, 10, 16, 18, 24, 26))
+    val frames = frameSample(resize(mediaDs(11L -> vid), 2, 2), everyN = 1)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.bytes.toSeq).toSeq ==
+      Seq(Seq[Byte](0, 2, 8, 10), Seq[Byte](16, 18, 24, 26)),
+      "downstream frameSample slices the resized frames at their boundaries")
+  }
+
   test("frameSample slices every Nth frame of a fake video") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     val vid = encodeFake("vid", 8, 8, 10, payload)
