@@ -42,7 +42,11 @@ object Digests {
     * digest alone. Deterministic listing order = sorted by name. The
     * preprocess script (import.sh:32-35 analog), when present, is
     * digested FIRST — it runs before the postprocessing scripts, and
-    * editing it must change the digest just like editing them does. */
+    * editing it must change the digest just like editing them does —
+    * and is DOMAIN-TAGGED ("pre:" prefix): without the tag, moving an
+    * identical script between the preprocess slot (runs before
+    * cleaning) and postprocessing.d (runs after load) left the
+    * composite unchanged and P5 wrongly skipped the re-import. */
   def compositeFeedDigest(feedFile: Path, postprocessingDir: Option[Path],
       preprocessScript: Option[Path] = None): String = {
     val zipDigest = digestFile(feedFile)
@@ -59,7 +63,7 @@ object Digests {
         }.map(n => digestFile(dir.resolve(n)))
       case _ => Seq.empty                     // ENOENT tolerated (import.js:216-218)
     }
-    val all = preDigest ++ scriptDigests
+    val all = preDigest.map("pre:" + _) ++ scriptDigests
     if (all.isEmpty) zipDigest
     else digestString(zipDigest + all.mkString)
   }

@@ -397,9 +397,16 @@ object Import {
             else i += 1
           }
           cur.append(sql.substring(start, i))
-        case '$' => // possible dollar-quote opener: $tag$ where tag is [A-Za-z0-9_]*
+        case '$' => // possible dollar-quote opener: $tag$ — PG's lexer
+          // requires the tag to START with a letter or underscore
+          // (digits allowed after); accepting digit-first tags would
+          // misread `$1$ ... $2$` (two positional params with text
+          // ending in $ between them) as a quote and swallow any ';'
+          // inside
           var j = i + 1
-          while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+          if (j < n && (sql.charAt(j).isLetter || sql.charAt(j) == '_')) {
+            while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+          }
           if (j < n && sql.charAt(j) == '$') {
             val tag = sql.substring(i, j + 1) // includes both '$'s
             val close = sql.indexOf(tag, j + 1)

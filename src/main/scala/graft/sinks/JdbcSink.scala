@@ -96,43 +96,91 @@ object JdbcSink {
           .jdbc(target.url, table, props(target))
     }
 
-  /** K1 COPY fast path: `COPY <table> FROM STDIN WITH (FORMAT csv)` per
-    * partition — the protocol the reference's `gtfs-to-sql | psql` pipe
-    * rides on (/root/reference/import.sh:124-132); ~5× over batched
-    * INSERT at real-PG scale because rows stream through one protocol
-    * message instead of one prepared-statement execution per batch.
-    * The driver creates the table from the DataFrame schema, then each
-    * of `loadParallelism` partitions opens its own connection and
-    * streams CSV-encoded rows — COPYs into one table from parallel
-    * connections are safe (PG takes RowExclusiveLock). */
+  /** K1 COPY fast path: `COPY <staging> FROM STDIN WITH (FORMAT csv)`
+    * per partition — the protocol the reference's `gtfs-to-sql | psql`
+    * pipe rides on (/root/reference/import.sh:124-132); ~5× over
+    * batched INSERT at real-PG scale because rows stream through one
+    * protocol message instead of one prepared-statement execution per
+    * batch.
+    *
+    * Exactly-once under task retries AND speculative twins: each
+    * partition COPYs into its OWN staging table inside one transaction
+    * that first takes an EXCLUSIVE table lock and deletes any earlier
+    * attempt's rows — concurrent attempts serialize on the lock and
+    * the last committer wins whole, so re-execution can never duplicate
+    * (a direct COPY into the target had no cleanup between attempts).
+    * The driver then moves all stagings into the target in ONE
+    * transaction — the Spark analog of the reference's
+    * `zstd | sponge | psql` barrier (import.sh:124-132): fully
+    * materialize, then one atomic publish. */
   def writeTableCopy(df: DataFrame, target: JdbcTarget, table: String,
       provider: CopyProvider): Unit = {
     // the table name is used VERBATIM (unquoted), matching Spark's own
     // JDBC writer and readTable — quoting would create case-sensitive
     // identifiers an unquoted read can't resolve on case-folding engines
-    try executeDdl(target, s"DROP TABLE $table")
-    catch { case _: java.sql.SQLException => () } // fresh import dir: usually absent
     val colDefs = df.schema.fields
       .map(f => s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
-    executeDdl(target, s"CREATE TABLE $table ($colDefs)")
     val cols = df.schema.fieldNames.map(n => s""""$n"""").mkString(", ")
-    val copySql = s"COPY $table ($cols) FROM STDIN WITH (FORMAT csv)"
+    def dropIfPresent(tbl: String): Unit =
+      try executeDdl(target, s"DROP TABLE $tbl")
+      catch { case _: java.sql.SQLException => () } // usually absent
+    dropIfPresent(table)
+    executeDdl(target, s"CREATE TABLE $table ($colDefs)")
+    val stagings = (0 until target.loadParallelism).map(i => s"${table}__cp$i")
+    stagings.foreach { s => dropIfPresent(s); executeDdl(target, s"CREATE TABLE $s ($colDefs)") }
     val t = target // capture the case class, not the method owner
     df.coalesce(target.loadParallelism).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
         Using.resource(connect(t)) { conn =>
-          val cs = provider.open(conn, copySql)
-          val sb = new StringBuilder(1 << 16)
-          rows.foreach { row =>
-            encodeCsvRow(row, sb)
-            if (sb.length >= (1 << 16)) flushCsv(cs, sb)
-          }
-          flushCsv(cs, sb)
-          cs.end()
-          ()
+          copyPartition(conn, s"${table}__cp$pid", cols, provider, rows)
         }
       }
     }
+    // consolidate: one transaction, so the target flips from empty to
+    // complete atomically; stagings dropped only after the commit
+    val conn =
+      if (target.user.nonEmpty)
+        DriverManager.getConnection(target.url, target.user, target.password)
+      else DriverManager.getConnection(target.url)
+    Using.resource(conn) { c =>
+      c.setAutoCommit(false)
+      stagings.foreach { s =>
+        Using.resource(c.createStatement())(
+          _.execute(s"INSERT INTO $table ($cols) SELECT $cols FROM $s"))
+      }
+      c.commit()
+      c.setAutoCommit(true)
+      stagings.foreach { s =>
+        Using.resource(c.createStatement())(_.execute(s"DROP TABLE $s"))
+      }
+    }
+  }
+
+  /** One partition attempt's staging write: LOCK (serializes
+    * speculative twins), DELETE (clears a previously COMMITTED
+    * attempt), COPY, COMMIT — all one transaction, so any interleaving
+    * of attempts leaves exactly one attempt's rows. Package-visible so
+    * the spec can replay a retry directly. */
+  private[sinks] def copyPartition(conn: Connection, staging: String,
+      cols: String, provider: CopyProvider, rows: Iterator[Row]): Unit = {
+    val copySql = s"COPY $staging ($cols) FROM STDIN WITH (FORMAT csv)"
+    conn.setAutoCommit(false)
+    // LOCK TABLE ... IN EXCLUSIVE MODE is shared PG/Derby syntax
+    Using.resource(conn.createStatement()) { st =>
+      st.execute(s"LOCK TABLE $staging IN EXCLUSIVE MODE")
+      st.execute(s"DELETE FROM $staging")
+    }
+    val cs = provider.open(conn, copySql)
+    val sb = new StringBuilder(1 << 16)
+    rows.foreach { row =>
+      encodeCsvRow(row, sb)
+      if (sb.length >= (1 << 16)) flushCsv(cs, sb)
+    }
+    flushCsv(cs, sb)
+    cs.end()
+    conn.commit()
+    conn.setAutoCommit(true)
   }
 
   private def flushCsv(cs: CopyStream, sb: StringBuilder): Unit =
@@ -144,8 +192,10 @@ object JdbcSink {
 
   /** COPY CSV conventions: unquoted empty = NULL; strings always quoted
     * (so the empty string stays distinct from NULL) with `""` escapes;
-    * everything else in its JDBC toString form. */
-  private def encodeCsvRow(row: Row, sb: StringBuilder): Unit = {
+    * embedded newlines/CRs stay raw inside the quotes (PG COPY CSV does
+    * not normalize them); everything else in its JDBC toString form.
+    * Package-visible for the round-trip property spec. */
+  private[sinks] def encodeCsvRow(row: Row, sb: StringBuilder): Unit = {
     var i = 0
     while (i < row.length) {
       if (i > 0) sb.append(',')

@@ -68,6 +68,23 @@ class DigestsSpec extends AnyFunSuite {
       Digests.compositeFeedDigest(f, Some(d2)))
   }
 
+  test("composite digest domain-tags the preprocess script (role matters)") {
+    val f = Files.createTempFile("feed", ".zip")
+    Files.writeString(f, "feedbytes")
+    val script = Files.createTempFile("pre", ".sh")
+    Files.writeString(script, "#!/bin/sh\nsed -i s/a/b/ stops.txt\n")
+    // the SAME script as preprocess vs as a postprocessing.d member has
+    // different semantics (runs before cleaning vs after load) — the
+    // composite digest must differ or P5 skips the re-import
+    val dir = Files.createTempDirectory("pp-role")
+    Files.copy(script, dir.resolve("01-same.sh"))
+    val asPre = Digests.compositeFeedDigest(f, None, Some(script))
+    val asPost = Digests.compositeFeedDigest(f, Some(dir), None)
+    assert(asPre != asPost)
+    // and the preprocess script still changes the digest at all
+    assert(asPre != Digests.digestFile(f))
+  }
+
   test("formatDbName: <prefix><unixSeconds>_<digest6> (H4)") {
     assert(Digests.formatDbName("gtfs_", 1700000000L, "abc123") ==
       "gtfs_1700000000_abc123")

@@ -49,6 +49,20 @@ class SqlSplitSpec extends AnyFunSuite {
       Seq("SELECT a + $1 FROM t", "SELECT 2"))
   }
 
+  test("digit-first $..$ is positional params, not a dollar quote (PG lexer)") {
+    // `$1$` would be a VALID tag under a [A-Za-z0-9_]* rule and the
+    // splitter would then swallow the ';' between the two params — PG
+    // requires tags to start with a letter or underscore
+    assert(split("SELECT $1$x; y$2 FROM t; SELECT 2") ==
+      Seq("SELECT $1$x", "y$2 FROM t", "SELECT 2"))
+    // digits AFTER the first letter are still a legal tag
+    assert(split("SELECT $t1$ a; b $t1$; SELECT 2") ==
+      Seq("SELECT $t1$ a; b $t1$", "SELECT 2"))
+    // underscore-first is a legal tag too
+    assert(split("SELECT $_x$ a; b $_x$; SELECT 2") ==
+      Seq("SELECT $_x$ a; b $_x$", "SELECT 2"))
+  }
+
   test("unterminated quote swallows the rest instead of mis-splitting") {
     assert(split("SELECT 'oops; SELECT 2") == Seq("SELECT 'oops; SELECT 2"))
   }

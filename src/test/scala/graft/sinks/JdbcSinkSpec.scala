@@ -153,9 +153,16 @@ class JdbcSinkSpec extends SparkSpec {
     // overwrite = fresh creation, same as the INSERT path
     JdbcSink.writeTable(docs.limit(1), t, "copydocs")
     assert(JdbcSink.readTable(spark, target, "copydocs").count() == 1)
-    // the provider saw a well-formed COPY command
-    assert(FakeCopy.seenSql.get().startsWith("COPY copydocs (\"id\", \"body\""),
+    // the provider saw a well-formed COPY command (into the partition's
+    // staging table — the exactly-once barrier, consolidated afterwards)
+    assert(FakeCopy.seenSql.get().startsWith("COPY copydocs__cp"),
       FakeCopy.seenSql.get())
+    assert(FakeCopy.seenSql.get().contains("(\"id\", \"body\""),
+      FakeCopy.seenSql.get())
+    // no staging tables survive a successful load
+    intercept[Exception] {
+      JdbcSink.readTable(spark, target, "copydocs__cp0").count()
+    }
     // sanity on the parser itself
     assert(parseCsvLine("a,\"b\"\"c\",,\"\"") ==
       Seq(Some("a"), Some("b\"c"), None, Some("")))
@@ -170,6 +177,72 @@ class JdbcSinkSpec extends SparkSpec {
     assert(target.effectiveCopyProvider.isEmpty, "Derby URL must not auto-enable COPY")
     assert(JdbcTarget("jdbc:postgresql://h/db").effectiveCopyProvider
       .contains(JdbcSink.PgCopyProvider), "PG URL auto-enables the COPY path")
+  }
+
+  test("copyPartition is idempotent: a retried attempt leaves one copy") {
+    import org.apache.spark.sql.Row
+    JdbcSink.executeDdl(url, "CREATE TABLE retry_stg(a VARCHAR(64), b INTEGER)")
+    val rows = Seq(Row("x", Int.box(1)), Row("y", Int.box(2)))
+    def attempt(): Unit =
+      scala.util.Using.resource(java.sql.DriverManager.getConnection(url)) { c =>
+        JdbcSink.copyPartition(c, "retry_stg", "\"a\", \"b\"", FakeCopy,
+          rows.iterator)
+      }
+    attempt() // first attempt commits
+    attempt() // task retry / speculative twin re-runs the SAME partition
+    val back = JdbcSink.readTable(spark, target, "retry_stg")
+    assert(back.count() == 2, "LOCK+DELETE+COPY leaves exactly one attempt's rows")
+    JdbcSink.executeDdl(url, "DROP TABLE retry_stg")
+  }
+
+  test("encodeCsvRow round-trips arbitrary strings through a real CSV parser") {
+    // COPY correctness is byte-level: quotes, commas, embedded
+    // newlines/CRs, unicode (incl. non-BMP), empty-vs-NULL must all
+    // survive encode -> parse by PG COPY CSV rules. The parser is
+    // univocity (the one Spark's own CSV source uses), configured to PG
+    // semantics: quote '"', escape '""', unquoted empty = NULL, NO line
+    // normalization inside quotes.
+    import com.univocity.parsers.csv.{CsvParser, CsvParserSettings}
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(7)
+    def randChar(): Char = rnd.nextInt(6) match {
+      case 0 => '"'
+      case 1 => ','
+      case 2 => '\n'
+      case 3 => '\r'
+      case 4 => (32 + rnd.nextInt(95)).toChar
+      case _ => (0xa1 + rnd.nextInt(0x2000)).toChar
+    }
+    def randCell(): Option[String] =
+      if (rnd.nextInt(5) == 0) None
+      else Some((0 until rnd.nextInt(12)).map(_ => randChar()).mkString +
+        (if (rnd.nextInt(4) == 0) "🙂" else "")) // non-BMP smiley
+    (1 to 20).foreach { round =>
+      val rows = (1 to 30).map(_ => (0 until 4).map(_ => randCell()))
+      val sb = new StringBuilder
+      rows.foreach { r =>
+        JdbcSink.encodeCsvRow(
+          org.apache.spark.sql.Row(r.map(_.orNull): _*), sb)
+      }
+      val settings = new CsvParserSettings
+      settings.getFormat.setLineSeparator("\n")
+      settings.getFormat.setDelimiter(',')
+      settings.getFormat.setQuote('"')
+      settings.getFormat.setQuoteEscape('"')
+      settings.setNullValue(null)
+      settings.setEmptyValue("")
+      settings.setIgnoreLeadingWhitespaces(false)
+      settings.setIgnoreTrailingWhitespaces(false)
+      settings.setNormalizeLineEndingsWithinQuotes(false) // PG keeps \r\n raw
+      settings.setMaxCharsPerColumn(1 << 16)
+      val parsed = new CsvParser(settings)
+        .parseAll(new java.io.StringReader(sb.toString)).asScala
+        .map(_.toSeq.map(Option(_)))
+      assert(parsed.size == rows.size, s"row count (round $round)")
+      parsed.zip(rows).zipWithIndex.foreach { case ((got, want), i) =>
+        assert(got == want, s"row $i (round $round)")
+      }
+    }
   }
 
   test("dropSchema reaps a schema that never received tables") {
