@@ -30,7 +30,9 @@ object Probe {
       val ts = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.ops.Releases.drain() // untimed, like Bench
+        sec
       }
       println(f"$n%-28s ${ts.map(t => f"$t%6.2f").mkString(" ")}")
     }

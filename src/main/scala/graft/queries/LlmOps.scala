@@ -470,9 +470,10 @@ object LlmOps {
     // same min-label join to a FIXPOINT (changed-count guard, per-round
     // lineage cut), exact at ANY cluster diameter. Oracle = transitive
     // closure via recursive CTE, so the driver checks true connectivity,
-    // not a fixed round count. (The checkpoint blocks behind the result
-    // are deliberately not released here: the consumer reads the result
-    // after this function returns; bench/verify sessions exit after.)
+    // not a fixed round count. The result's checkpoint blocks cannot be
+    // released before the caller materializes the DataFrame, so the
+    // handle is DEFERRED to ops.Releases — Verify/Bench/Probe drain it
+    // after each query's action, keeping long sessions leak-free.
     "llm_cluster_fixpoint" -> QueryDef(
       doc = "near-dup clusters via fixpoint min-label propagation (ops.Components)",
       oracle = s"""
@@ -496,7 +497,9 @@ object LlmOps {
       // self-edges make isolated vectors singleton clusters
       val edges = cand.select(col("vec_a").as("src"), col("vec_b").as("dst"))
         .unionByName(verts.select(col("vec_id").as("src"), col("vec_id").as("dst")))
-      graft.ops.Components.run(edges).components
+      val labels = graft.ops.Components.run(edges)
+      graft.ops.Releases.defer(labels.release)
+      labels.components
         .select(col("id").as("vec_id"), col("component"))
     },
 

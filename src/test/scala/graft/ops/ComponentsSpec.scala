@@ -72,6 +72,23 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("deferred release: successive query-path runs leave no net blocks") {
+    // the llm_cluster_fixpoint contract: the query defers its release
+    // handle to ops.Releases and the materializing caller drains AFTER
+    // its action — two back-to-back runs must not grow the block
+    // manager (a long-lived openLatestImport-style session would
+    // otherwise accumulate one checkpointed snapshot per run)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (1 to 2).foreach { _ =>
+      val got = Components.run(Seq((1L, 2L), (2L, 3L), (9L, 9L)).toDF("src", "dst"))
+      Releases.defer(got.release)
+      got.components.write.mode("overwrite").format("noop").save()
+      Releases.drain()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"net block-manager growth across runs: $leaked")
+  }
+
   test("non-convergence within maxIterations fails loudly") {
     val edges = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"))
       .toDF("src", "dst")
