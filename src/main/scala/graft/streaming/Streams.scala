@@ -106,6 +106,86 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_digest")
 
+  final case class BandRow(docId: Long, ts: java.sql.Timestamp,
+      band: Int, bucket: Long)
+  final case class BucketAnchor(anchorId: Long)
+  final case class NearDupCandidate(docId: Long, anchorId: Long, band: Int)
+
+  /** Streaming MinHash-LSH near-dup candidates — the ingest-time flavor
+    * of the batch `llm_minhash_lsh` operator: each arriving document is
+    * shingled and minhashed PER ROW (higher-order functions, no
+    * streaming aggregation — the one stateful operator below is the
+    * bucket store), its `nBands` band keys are exploded, and a
+    * flatMapGroupsWithState keyed by (band, bucket) emits a candidate
+    * pair against the bucket's ANCHOR (first document seen in that
+    * bucket). Docs colliding with the same anchor in several bands emit
+    * one pair per band — downstream exact re-rank (the batch Jaccard
+    * pass) dedups pairs, same as the batch pipeline's DISTINCT.
+    *
+    * State bound: ONE (anchorId) entry per occupied bucket within the
+    * event-time horizon — O(distinct band buckets per horizon), never
+    * O(corpus); with EventTimeTimeout each bucket entry is evicted
+    * `horizonSecs` after its last event (pass NoTimeout for fully
+    * deterministic tests, as with [[sessionize]]).
+    *
+    * Minhash parity with the batch op: 8 independent 32-bit minhash
+    * slices from ONE sha256 per shingle, nBands×rowsPerBand ≤ 8. */
+  def nearDupCandidateStream(docs: DataFrame, nBands: Int = 4,
+      rowsPerBand: Int = 2, shingleLen: Int = 3, horizonSecs: Long = 3600,
+      timeout: GroupStateTimeout = GroupStateTimeout.EventTimeTimeout)
+      : Dataset[NearDupCandidate] = {
+    require(nBands * rowsPerBand <= 8,
+      "one sha256 yields 8 independent 32-bit minhash slices")
+    import docs.sparkSession.implicits._
+    val words = split(col("text"), " ")
+    val shingles = transform(
+      sequence(lit(0), greatest(size(words) - shingleLen, lit(0))),
+      i => array_join(slice(words, i + 1, lit(shingleLen)), " "))
+    val mh = (0 until nBands * rowsPerBand).map { j =>
+      array_min(transform(shingles, s =>
+        conv(substring(sha2(s, 256), j * 8 + 1, 8), 16, 10).cast("long")))
+    }
+    val bandKeys = (0 until nBands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand)
+        .map(r => mh(b * rowsPerBand + r))): _*)
+    }
+    val useTimers = timeout != GroupStateTimeout.NoTimeout
+    docs
+      .select(col("doc_id"), col("ts"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+      .withWatermark("ts", s"$horizonSecs seconds")
+      .select(col("doc_id").as("docId"), col("ts"), col("band"), col("bucket"))
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[BucketAnchor, NearDupCandidate](
+        OutputMode.Append(), timeout) {
+        (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketAnchor]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.docId))
+            var anchor = state.getOption.map(_.anchorId)
+            val out = List.newBuilder[NearDupCandidate]
+            sorted.foreach { r =>
+              anchor match {
+                case None => anchor = Some(r.docId)
+                case Some(a) if r.docId != a =>
+                  out += NearDupCandidate(r.docId, a, key._1)
+                case _ => () // duplicate event for the anchor itself
+              }
+            }
+            anchor.foreach { a =>
+              state.update(BucketAnchor(a))
+              // timeout must be strictly past the current watermark —
+              // clamp for very late (but not yet dropped) events
+              if (useTimers) state.setTimeoutTimestamp(
+                math.max(sorted.last.ts.getTime, state.getCurrentWatermarkMs()) +
+                  horizonSecs * 1000)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Drain a feed-drop directory once (AvailableNow) into a parquet
     * target — the streaming flavor of the S2→S3→K1 path. Returns after
     * the drain completes. */

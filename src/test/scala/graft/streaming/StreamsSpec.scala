@@ -82,6 +82,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash-LSH near-dup candidates pair docs against bucket anchors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    // NoTimeout for determinism (same pattern as sessionize); production
+    // uses EventTimeTimeout so bucket anchors evict after the horizon
+    val q = Streams.nearDupCandidateStream(docs,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("neardup_cands")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      val b = "an entirely different document about spark streaming state"
+      mem.addData((t("2024-01-01 10:00:00"), 1L, a))
+      q.processAllAvailable()
+      // identical text => identical shingle set => ALL bands collide
+      // with doc 1's buckets; unrelated text collides with none
+      mem.addData((t("2024-01-01 10:10:00"), 2L, a),
+        (t("2024-01-01 10:20:00"), 3L, b))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_cands")
+        .select("docId", "anchorId").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((2L, 1L)), s"got $pairs")
+      // candidates stream is append-only pairs: the anchor itself and
+      // the unrelated doc emit nothing
+      val nBandHits = spark.table("neardup_cands").count()
+      assert(nBandHits == 4, s"identical docs collide in all 4 bands: $nBandHits")
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based session windows via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
