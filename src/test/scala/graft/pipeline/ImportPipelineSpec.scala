@@ -11,12 +11,22 @@ import graft.meta.MetaStore
   * dangling-pointer reconciliation (P3). */
 class ImportPipelineSpec extends SparkSpec {
 
-  private def mkCfg(root: Path, feedDir: Path, tag: String): Import.Config =
+  // Default to the C17 whole-stage cleaning bypass (a REAL reference
+  // path, GTFSTIDY_BEFORE_IMPORT=off): most tests here assert
+  // bookkeeping/digest/lock/retention semantics, not cleaned entity
+  // content, and the 14-stage cleaning pipeline dominated the suite's
+  // wall clock (round 7: this spec was 337 s of an 8:50 `sbt test`).
+  // Tests that DO assert cleaned output (materialized views, K1's
+  // C11-merged agency, the clean-log artifact, C19's through-cleaning
+  // flow) opt back in with clean = true.
+  private def mkCfg(root: Path, feedDir: Path, tag: String,
+      clean: Boolean = false): Import.Config =
     Import.Config(
       feedSource = feedDir,
       storeRoot = root,
       dbPrefix = "gtfs_",
       tmpDir = root.resolve(s"tmp-$tag"),
+      cleanConfig = graft.gtfs.Clean.Config(enabled = clean),
       dsnFilePath = Some(root.resolve("dsn.txt")))
 
   test("import → skip-if-unchanged → changed feed → retention of newest 2") {
@@ -80,7 +90,8 @@ class ImportPipelineSpec extends SparkSpec {
     val root = Files.createTempDirectory("store-mat")
     val feed = TestFeed.writeTo(Files.createTempDirectory("fm"))
     val r = Import.importGtfsAtomically(spark,
-      mkCfg(root, feed, "m").copy(materializeViews = true, now = () => 1700000500L))
+      mkCfg(root, feed, "m", clean = true)
+        .copy(materializeViews = true, now = () => 1700000500L))
     val db = MetaStore(root.toString).databasePath(r.newImport.get.dbName)
     assert(Files.exists(db.resolve("service_days")))
     val adDir = db.resolve("arrivals_departures")
@@ -228,7 +239,7 @@ class ImportPipelineSpec extends SparkSpec {
     // dotfiles are excluded (P6) — this one would fail the import if run
     Files.writeString(pp.resolve(".90-broken.sql"), "SELECT * FROM no_such_table")
     val r = Import.importGtfsAtomically(spark,
-      mkCfg(root, feed, "ppx").copy(postprocessingDir = Some(pp),
+      mkCfg(root, feed, "ppx", clean = true).copy(postprocessingDir = Some(pp),
         now = () => 1700000600L))
     assert(!r.importSkipped)
     val db = MetaStore(root.toString).databasePath(r.newImport.get.dbName)
@@ -250,7 +261,7 @@ class ImportPipelineSpec extends SparkSpec {
     val root = Files.createTempDirectory("store-jdbc")
     var clock = 1700001000L
     def cfg(dir: Path, tag: String) =
-      mkCfg(root, dir, tag).copy(jdbcTarget = Some(target),
+      mkCfg(root, dir, tag, clean = true).copy(jdbcTarget = Some(target),
         determineDbsToRetain = Retention.newestN(1),
         now = () => { clock += 10; clock })
     val f1 = TestFeed.writeTo(Files.createTempDirectory("fj1"))
@@ -346,7 +357,7 @@ class ImportPipelineSpec extends SparkSpec {
     val feed = TestFeed.writeTo(Files.createTempDirectory("fpre"))
     var clock = 1700002000L
     def cfg(script: Option[Path], tag: String) =
-      mkCfg(root, feed, tag).copy(preprocessScript = script,
+      mkCfg(root, feed, tag, clean = true).copy(preprocessScript = script,
         now = () => { clock += 10; clock })
     // the script edits a referenced stop's name IN THE EXTRACTED CSVs —
     // the effect must flow through cleaning into the published import
