@@ -700,6 +700,52 @@ object LlmOps {
             .as("re_tokens"))
     },
 
+    // Exact length percentiles per language — the corpus-profiling stat
+    // every training-data pipeline reports. Computed HISTOGRAM-style:
+    // groupBy (lang, n_tok) count (map-side combine, corpus-scale
+    // shuffle on a high-cardinality key), then the cumulative window
+    // runs over the tiny aggregated table (rows = distinct token counts
+    // per lang, bounded by max document length — NOT the corpus), so no
+    // per-language global sort of fact data ever happens. percentile_disc
+    // semantics via pure integer rank arithmetic (ceil(p*n) =
+    // (p*n + denom-1) div denom) — bit-identical across engines, unlike
+    // interpolating percentile() floats.
+    "llm_length_percentiles" -> QueryDef(
+      doc = "exact p50/p90 token-count percentiles per lang (histogram method)",
+      oracle = """
+        |WITH tok AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents
+        |), counts AS (
+        |  SELECT lang, n_tok, count(*) AS c FROM tok GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT lang, n_tok,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY n_tok) AS cum,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM counts
+        |)
+        |SELECT lang,
+        |       CAST(max(n) AS BIGINT) AS n_docs,
+        |       CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN n_tok END) AS BIGINT) AS p50_tokens,
+        |       CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN n_tok END) AS BIGINT) AS p90_tokens
+        |FROM cum
+        |GROUP BY lang
+        |ORDER BY lang
+        |""") { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
+        .groupBy("lang", "n_tok").agg(count(lit(1)).as("c"))
+      val cum = counts
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("lang").orderBy("n_tok")))
+        .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+      cum.groupBy("lang").agg(
+        max("n").as("n_docs"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("n_tok")))
+          .cast("long").as("p50_tokens"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("n_tok")))
+          .cast("long").as("p90_tokens"))
+    },
+
     // Document fingerprinting: bottom-3 sketch of shingle hashes
     // (winnowing-style). One aggregation: slice(array_sort(collect_set))
     // — the per-doc set is bounded by the doc's shingle count, and the

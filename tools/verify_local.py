@@ -74,7 +74,11 @@ for name, sql in sorted(oracle.items()):
     passes.append((name, len(got)))
 
 for name, n in passes:
-    print(f"PASS {name} ({n} rows)")
+    # an empty-vs-empty match proves nothing — q6's oracle box was
+    # unsatisfiable for five rounds and "passed" the whole time; make
+    # vacuous rows impossible to miss without failing the gate
+    flag = "  ** VACUOUS (0 rows) — tighten the query or the oracle **" if n == 0 else ""
+    print(f"PASS {name} ({n} rows){flag}")
 for name, msg in fails:
     print(f"FAIL {name}: {msg}")
 rows_only = [os.path.basename(d) for d in glob.glob(out_dir + "/*")
