@@ -826,8 +826,14 @@ object LlmOps {
       val tf = tok.groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
       // df rides the SAME (doc_id, tk) aggregation — tf is already the
       // distinct (doc, term) set, so counting docs per term on top of it
-      // reuses that exchange instead of re-scanning
-      val df_ = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+      // reuses that exchange instead of re-scanning. The `tf > 0` filter
+      // is always true (counts are ≥ 1) but it REFERENCES the count, so
+      // column pruning cannot strip it from this lineage's aggregate —
+      // without it the pruned (keys-only) subtree canonicalizes
+      // differently from tf's and the exchange is NOT reused: the
+      // executed plan showed two full scan+explode+shuffle pipelines
+      // (round-7 plan sweep; same rewrite-divergence class as c8).
+      val df_ = tf.where(col("tf") > 0).groupBy("tk").agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("tk"))
       tf.join(df_, Seq("tk")).crossJoin(nDocs)
