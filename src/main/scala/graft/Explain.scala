@@ -17,8 +17,10 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val run = args.contains("-run")
-    val names = if (args.length > 1) args.drop(1).toSeq.filterNot(_ == "-run")
-      else SparkEntry.queries.keys.toSeq.sorted
+    // `-run` with no query names must still mean "all queries": compute
+    // the name list AFTER stripping flags, then fall back on empty.
+    val named = args.drop(1).toSeq.filterNot(_ == "-run")
+    val names = if (named.nonEmpty) named else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -36,6 +38,11 @@ object Explain {
         // the Dataset itself finalizes the adaptive plan we print
         df.collect()
         println(df.queryExecution.executedPlan.toString)
+        // -run executes eager fixpoints (llm_cluster_fixpoint et al.)
+        // which defer localCheckpoint block release to ops.Releases —
+        // drain per query like Verify/Bench/Probe do, or a long -run
+        // sweep accumulates checkpoint blocks.
+        graft.ops.Releases.drain()
       } else df.explain("formatted")
     }
     spark.stop()

@@ -1,6 +1,6 @@
 package graft.gtfs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -226,17 +226,86 @@ object Views {
       .groupBy("hour_bucket")
       .agg(count(lit(1)).as("n_active_trips"))
 
-  /** V8: translations — generic lookup join; language codes
-    * lower-cased (L2 --lower-case-lang-codes, import.sh:125). */
-  def translatedStopNames(feed: Feed): DataFrame = {
+  /** GTFS translations.txt record resolution: which entity column(s)
+    * `record_id` (+ `record_sub_id`) points at, per translated table
+    * (GTFS reference, translations.txt). Tables absent here (feed_info)
+    * are only addressable by `field_value`. */
+  private val translationKeys: Map[String, (String, Option[String])] = Map(
+    "agency" -> (("agency_id", None)),
+    "stops" -> (("stop_id", None)),
+    "routes" -> (("route_id", None)),
+    "trips" -> (("trip_id", None)),
+    "stop_times" -> (("trip_id", Some("stop_sequence"))),
+    "pathways" -> (("pathway_id", None)),
+    "levels" -> (("level_id", None)),
+    "attributions" -> (("attribution_id", None)))
+
+  /** V8: translations — the GENERIC lookup join gtfs-via-postgres's
+    * translations integration applies to every translatable
+    * (table, field) pair (enabled by the reference's flag set,
+    * import.sh:124-129). Spec semantics implemented:
+    *   - a translation row addresses its records either by
+    *     `record_id` (+ `record_sub_id` for composite-key tables like
+    *     stop_times) or by `field_value` (matches every record whose
+    *     field equals the value);
+    *   - when both flavors match the same (record, language), the
+    *     record_id row wins (it is the more specific reference);
+    *   - language codes are lower-cased first (L2
+    *     --lower-case-lang-codes, import.sh:125);
+    *   - records with no translation for any language surface once with
+    *     language NULL and the original value as the fallback.
+    * Output: one row per (record, translated language) —
+    * (record_key, record_sub_key, <field>, language, <field>_translated).
+    *
+    * Scale: translations.txt is dimension-scale (bounded by entities ×
+    * languages, no per-event rows), so both resolution joins and the
+    * resolved lookup broadcast — the entity side is never shuffled. */
+  def translateField(feed: Feed, tableName: String, fieldName: String): DataFrame = {
+    val entity = feed(tableName)
+    val spec = translationKeys.get(tableName)
+    val keyCol: Column = spec match {
+      case Some((k, _)) => col(k).cast("string")
+      // feed_info-style tables: no record key — the value is the identity
+      case None => col(fieldName)
+    }
+    // "" stands in for absent sub-keys so equi-joins and groupBys treat
+    // all single-key records as one match domain (NULL never equals NULL)
+    val subCol: Column = spec.flatMap(_._2).filter(entity.columns.contains)
+      .map(c => col(c).cast("string")).getOrElse(lit(""))
+    val base = entity.select(keyCol.as("record_key"),
+      coalesce(subCol, lit("")).as("record_sub_key"), col(fieldName))
     val tr = feed("translations")
-      .where(col("table_name") === "stops" && col("field_name") === "stop_name")
-      .select(col("record_id").as("stop_id"),
+      .where(col("table_name") === tableName && col("field_name") === fieldName)
+      .select(col("record_id"), col("record_sub_id"), col("field_value"),
         lower(col("language")).as("language"), col("translation"))
-    feed("stops").join(broadcast(tr), Seq("stop_id"), "left")
-      .select(col("stop_id"), col("stop_name"), col("language"),
-        coalesce(col("translation"), col("stop_name")).as("stop_name_translated"))
+    val idMatches = base.join(broadcast(tr.where(col("record_id").isNotNull)),
+        col("record_key") === col("record_id") &&
+          // a null record_sub_id addresses every sub-record of record_id
+          (col("record_sub_id").isNull ||
+            col("record_sub_id") === col("record_sub_key")))
+      .select(col("record_key"), col("record_sub_key"), col("language"),
+        col("translation"), lit(1).as("prio"))
+    val valMatches = base.join(
+        broadcast(tr.where(col("record_id").isNull && col("field_value").isNotNull)),
+        col(fieldName) === col("field_value"))
+      .select(col("record_key"), col("record_sub_key"), col("language"),
+        col("translation"), lit(2).as("prio"))
+    val resolved = idMatches.unionByName(valMatches)
+      .groupBy("record_key", "record_sub_key", "language")
+      .agg(min_by(col("translation"), col("prio")).as("translation"))
+    base.join(broadcast(resolved), Seq("record_key", "record_sub_key"), "left")
+      .select(col("record_key"), col("record_sub_key"), col(fieldName),
+        col("language"),
+        coalesce(col("translation"), col(fieldName))
+          .as(s"${fieldName}_translated"))
   }
+
+  /** The stops/stop_name instance of [[translateField]] — kept as the
+    * named view the departure-board consumer reads. */
+  def translatedStopNames(feed: Feed): DataFrame =
+    translateField(feed, "stops", "stop_name")
+      .select(col("record_key").as("stop_id"), col("stop_name"),
+        col("language"), col("stop_name_translated"))
 
   /** Materialize V2 partitioned by service date: consumer queries are
     * almost always date-ranged (departure boards), so the layout makes

@@ -46,7 +46,12 @@ object Digests {
     * and is DOMAIN-TAGGED ("pre:" prefix): without the tag, moving an
     * identical script between the preprocess slot (runs before
     * cleaning) and postprocessing.d (runs after load) left the
-    * composite unchanged and P5 wrongly skipped the re-import. */
+    * composite unchanged and P5 wrongly skipped the re-import.
+    *
+    * Upgrade note: introducing the "pre:" tag changed the composite for
+    * every deployment that uses a preprocess script, so the first run
+    * after upgrading sees feed-changed once and re-imports — one-time,
+    * by design (the digest format itself is versioned by its value). */
   def compositeFeedDigest(feedFile: Path, postprocessingDir: Option[Path],
       preprocessScript: Option[Path] = None): String = {
     val zipDigest = digestFile(feedFile)

@@ -225,10 +225,26 @@ object Import {
 
   /** Consumer path (SURVEY.md §3.3): resolve the newest import and
     * register its entity tables + views under stable names — the "DSN
-    * swap" as a view re-registration. */
+    * swap" as a view re-registration.
+    *
+    * RELEASE CONTRACT (caller-owns-release): some query surfaces built
+    * over these views run eager fixpoints (connected components,
+    * multi-pass IVF) that back their lazy result with localCheckpoint
+    * blocks and defer the block release to [[graft.ops.Releases]] —
+    * only the caller knows when the result has been materialized. A
+    * long-lived service session must therefore call
+    * `graft.ops.Releases.drain()` after each query action (Verify/
+    * Bench/Probe/Explain already do), or checkpoint blocks accumulate
+    * for the life of the session. `openLatestImport` itself drains
+    * before (re-)registering: whatever the previous cycle left pending
+    * is released at the swap boundary, so a drain-less caller's leak is
+    * bounded by ONE cycle instead of growing without bound. */
   def openLatestImport(spark: SparkSession, storeRoot: Path, dbPrefix: String): Option[String] = {
     val store = MetaStore(storeRoot.toString)
     store.listImports(dbPrefix).headOption.map { latest =>
+      // swap boundary: release blocks pinned by the previous import's
+      // query cycle before the new views go live
+      graft.ops.Releases.drain()
       registerViews(spark, store.databasePath(latest.dbName))
       latest.dbName
     }
@@ -560,13 +576,29 @@ object Import {
     }
   }
 
-  private def registerViews(spark: SparkSession, dbPath: Path): Unit =
-    Using.resource(Files.list(dbPath)) {
-      _.iterator().asScala.filter(Files.isDirectory(_)).foreach { p =>
-        spark.read.parquet(p.toString)
-          .createOrReplaceTempView(p.getFileName.toString)
+  private def registerViews(spark: SparkSession, dbPath: Path): Unit = {
+    val entities = Using.resource(Files.list(dbPath)) {
+      _.iterator().asScala.filter(Files.isDirectory(_)).map { p =>
+        val name = p.getFileName.toString
+        spark.read.parquet(p.toString).createOrReplaceTempView(name)
+        name
+      }.toSet
+    }
+    // V8 translations integration: alongside each raw entity view,
+    // register the translated flavor for every translatable (table,
+    // field) pair present — the gtfs-via-postgres consumer surface
+    // (import.sh:124-129), not just stops/stop_name.
+    if (entities.contains("translations")) {
+      val feed: graft.gtfs.Clean.Feed =
+        entities.iterator.map(n => n -> spark.table(n)).toMap
+      Seq(("stops", "stop_name"), ("routes", "route_long_name"),
+          ("trips", "trip_headsign")).foreach { case (table, field) =>
+        if (entities.contains(table) && feed(table).columns.contains(field))
+          Views.translateField(feed, table, field)
+            .createOrReplaceTempView(s"${table}_translated")
       }
     }
+  }
 
   private def deleteRecursively(p: Path): Unit =
     Using.resource(Files.walk(p)) { w =>

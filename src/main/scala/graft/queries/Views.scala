@@ -335,5 +335,106 @@ object Views {
         .groupBy("language", "translation")
         .agg(count(lit(1)).as("n_customers"))
     },
+
+    // V8b: the GENERIC translations matrix — runs the REAL
+    // gtfs.Views.translateField over a GTFS-shaped feed synthesized
+    // from nation/region, exercising all three spec resolution paths
+    // at once: record_id rows (nationkey%2=0), field_value rows
+    // (nationkey%4=0 — a strict subset, so id-over-value precedence is
+    // observable in the output: *_id, never *_val), and untranslated
+    // records (odd keys → language NULL, original as fallback). Two
+    // entities (routes.route_long_name + trips.trip_headsign) prove the
+    // join is not stops-specific. Lang codes arrive upper-case and must
+    // come out lower (L2).
+    "v8b_translations_generic" -> QueryDef(
+      doc = "generic (table,field) translations: record_id/field_value resolution, id precedence, NULL-language fallback, two entities",
+      oracle = """
+        |WITH routes AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) AS route_id, n_name AS route_long_name FROM nation
+        |), trips AS (
+        |  SELECT CAST(r_regionkey AS VARCHAR) AS trip_id, r_name AS trip_headsign FROM region
+        |), tr AS (
+        |  SELECT 'routes' AS table_name, 'route_long_name' AS field_name,
+        |         lower(CASE n_nationkey % 3 WHEN 0 THEN 'DE' WHEN 1 THEN 'FR' ELSE 'EN' END) AS language,
+        |         lower(n_name) || '_id' AS translation,
+        |         CAST(n_nationkey AS VARCHAR) AS record_id, CAST(NULL AS VARCHAR) AS field_value, 1 AS prio
+        |  FROM nation WHERE n_nationkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'routes', 'route_long_name',
+        |         lower(CASE n_nationkey % 3 WHEN 0 THEN 'DE' WHEN 1 THEN 'FR' ELSE 'EN' END),
+        |         lower(n_name) || '_val', NULL, n_name, 2
+        |  FROM nation WHERE n_nationkey % 4 = 0
+        |  UNION ALL
+        |  SELECT 'trips', 'trip_headsign', 'en', lower(r_name) || '_hd', NULL, r_name, 2 FROM region
+        |), matches AS (
+        |  SELECT 'routes' AS entity, r.route_id AS record_key, t.language,
+        |         r.route_long_name AS original, t.translation, t.prio
+        |  FROM routes r JOIN tr t
+        |    ON t.table_name = 'routes' AND t.field_name = 'route_long_name'
+        |   AND ((t.record_id IS NOT NULL AND t.record_id = r.route_id)
+        |     OR (t.record_id IS NULL AND t.field_value = r.route_long_name))
+        |  UNION ALL
+        |  SELECT 'trips', tp.trip_id, t.language, tp.trip_headsign, t.translation, t.prio
+        |  FROM trips tp JOIN tr t
+        |    ON t.table_name = 'trips' AND t.field_name = 'trip_headsign'
+        |   AND ((t.record_id IS NOT NULL AND t.record_id = tp.trip_id)
+        |     OR (t.record_id IS NULL AND t.field_value = tp.trip_headsign))
+        |), resolved AS (
+        |  SELECT entity, record_key, language, original,
+        |         arg_min(translation, prio) AS translation
+        |  FROM matches GROUP BY entity, record_key, language, original
+        |), all_entities AS (
+        |  SELECT 'routes' AS entity, route_id AS record_key, route_long_name AS original FROM routes
+        |  UNION ALL
+        |  SELECT 'trips', trip_id, trip_headsign FROM trips
+        |)
+        |SELECT e.entity, e.record_key, r.language, e.original,
+        |       coalesce(r.translation, e.original) AS translated
+        |FROM all_entities e LEFT JOIN resolved r
+        |  ON e.entity = r.entity AND e.record_key = r.record_key
+        |ORDER BY e.entity, e.record_key, r.language
+        |""") { (s, d) =>
+      val nation = Tables.nation(s, d)
+      val region = Tables.region(s, d)
+      val routes = nation.select(
+        col("n_nationkey").cast("string").as("route_id"),
+        col("n_name").as("route_long_name"))
+      val trips = region.select(
+        col("r_regionkey").cast("string").as("trip_id"),
+        col("r_name").as("trip_headsign"))
+      val lang = when(col("n_nationkey") % 3 === 0, "DE")
+        .when(col("n_nationkey") % 3 === 1, "FR").otherwise("EN")
+      val nullS = lit(null).cast("string")
+      val trId = nation.where(col("n_nationkey") % 2 === 0).select(
+        lit("routes").as("table_name"), lit("route_long_name").as("field_name"),
+        lang.as("language"),
+        concat(lower(col("n_name")), lit("_id")).as("translation"),
+        col("n_nationkey").cast("string").as("record_id"),
+        nullS.as("record_sub_id"), nullS.as("field_value"))
+      val trVal = nation.where(col("n_nationkey") % 4 === 0).select(
+        lit("routes").as("table_name"), lit("route_long_name").as("field_name"),
+        lang.as("language"),
+        concat(lower(col("n_name")), lit("_val")).as("translation"),
+        nullS.as("record_id"), nullS.as("record_sub_id"),
+        col("n_name").as("field_value"))
+      val trTrip = region.select(
+        lit("trips").as("table_name"), lit("trip_headsign").as("field_name"),
+        lit("EN").as("language"),
+        concat(lower(col("r_name")), lit("_hd")).as("translation"),
+        nullS.as("record_id"), nullS.as("record_sub_id"),
+        col("r_name").as("field_value"))
+      val feed: graft.gtfs.Clean.Feed = Map(
+        "routes" -> routes, "trips" -> trips,
+        "translations" -> trId.unionByName(trVal).unionByName(trTrip))
+      val r = graft.gtfs.Views.translateField(feed, "routes", "route_long_name")
+        .select(lit("routes").as("entity"), col("record_key"), col("language"),
+          col("route_long_name").as("original"),
+          col("route_long_name_translated").as("translated"))
+      val t = graft.gtfs.Views.translateField(feed, "trips", "trip_headsign")
+        .select(lit("trips").as("entity"), col("record_key"), col("language"),
+          col("trip_headsign").as("original"),
+          col("trip_headsign_translated").as("translated"))
+      r.unionByName(t)
+    },
   )
 }

@@ -138,12 +138,11 @@ object JdbcSink {
       }
     }
     // consolidate: one transaction, so the target flips from empty to
-    // complete atomically; stagings dropped only after the commit
-    val conn =
-      if (target.user.nonEmpty)
-        DriverManager.getConnection(target.url, target.user, target.password)
-      else DriverManager.getConnection(target.url)
-    Using.resource(conn) { c =>
+    // complete atomically; stagings dropped only after the commit.
+    // connect(), not an inline getConnection: the helper also loads
+    // target.driver, which an inline call silently depended on earlier
+    // executeDdl invocations having done in this JVM
+    Using.resource(connect(target)) { c =>
       c.setAutoCommit(false)
       stagings.foreach { s =>
         Using.resource(c.createStatement())(

@@ -136,6 +136,12 @@ object Streams {
       : Dataset[NearDupCandidate] = {
     require(nBands * rowsPerBand <= 8,
       "one sha256 yields 8 independent 32-bit minhash slices")
+    // eviction is keyed to the event-time watermark (setTimeoutTimestamp
+    // below); ProcessingTimeTimeout would throw at runtime on that call,
+    // so reject any mode we can't honor up front
+    require(timeout == GroupStateTimeout.EventTimeTimeout ||
+        timeout == GroupStateTimeout.NoTimeout,
+      s"nearDupCandidateStream evicts on event time: pass EventTimeTimeout or NoTimeout, not $timeout")
     import docs.sparkSession.implicits._
     val words = split(col("text"), " ")
     val shingles = transform(

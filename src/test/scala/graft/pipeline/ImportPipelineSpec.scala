@@ -419,4 +419,33 @@ class ImportPipelineSpec extends SparkSpec {
     store.acquireLockNowait() // must NOT fail fast on the stale file
     store.releaseLock()
   }
+
+  test("service loop: openLatestImport drains deferred releases — no net persistent-RDD growth") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("store-drain")
+    val feed = TestFeed.writeTo(Files.createTempDirectory("fdrain"))
+    Import.importGtfsAtomically(spark, mkCfg(root, feed, "drain"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // two service-loop cycles, each running a fixpoint-backed query the
+    // way the query surface does (Components.run + Releases.defer) but
+    // NEVER draining itself — the drain-less caller the release
+    // contract on openLatestImport is written for
+    (1 to 2).foreach { cycle =>
+      assert(Import.openLatestImport(spark, root, "gtfs_").isDefined)
+      val labels = graft.ops.Components.run(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst"))
+      assert(labels.components.count() == 5) // caller's action
+      graft.ops.Releases.defer(labels.release)
+      // the cycle's own blocks are still pinned (lazy caller), but the
+      // PREVIOUS cycle's were drained at the openLatestImport boundary:
+      // net growth stays bounded by one cycle, not the loop length
+      val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(pinned.nonEmpty, "fixpoint should pin checkpoint blocks until drained")
+      assert(pinned.size <= 2,
+        s"cycle $cycle: more than one cycle's blocks pinned: $pinned")
+    }
+    graft.ops.Releases.drain() // end of service: caller-owned final drain
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "all checkpoint blocks released after the final drain")
+  }
 }
