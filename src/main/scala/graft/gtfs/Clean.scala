@@ -406,10 +406,22 @@ object Clean {
       .agg(dowAggs.head, (dowAggs.tail :+
         sum(when(col("in_mask"), col("n_actual")).otherwise(0)).as("n_covered")): _*)
       .withColumn("mask_arr", array((0 to 6).map(dw => col(s"dow_$dw")): _*))
+    // `enc` has TWO consumers (newCalendar, newCalDates' join). A
+    // pinned repartition exchange — the fix that worked for `days` —
+    // does NOT hold here: newCalendar's use_calendar filter pushes
+    // through RepartitionByExpression, so the consumers' exchange
+    // subtrees canonicalize differently and nothing is reused (round-8
+    // plan audit: the maskCov pipeline appeared twice regardless).
+    // enc is ONE ROW PER SERVICE — dimension-scale at any corpus size
+    // (services ≪ stop_times) — so materialize it: persist + deferred
+    // unpersist via ops.Releases (the fixpoint's caller-owns-release
+    // pattern; Verify/Bench/Probe/Explain and the import path drain).
     val enc = span.join(maskCov, "service_id")
       .withColumn("cost_cal", lit(1) + (col("n_dates") - col("n_covered")))
       .withColumn("use_calendar",
         col("cost_cal") < col("n_dates") && col("n_covered") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Releases.defer(() => { enc.unpersist(false); () })
     val dowNames = Seq("monday", "tuesday", "wednesday", "thursday", "friday",
       "saturday", "sunday")
     val newCalendar = enc.where(col("use_calendar"))

@@ -219,6 +219,10 @@ object Import {
           throw e
       }
     } finally {
+      // every entity is materialized (parquet written) or abandoned by
+      // here, so blocks pinned by the cleaning stages (e.g. C8's
+      // per-service encoding cache) can be released with the lock
+      graft.ops.Releases.drain()
       store.releaseLock()
     }
   }
