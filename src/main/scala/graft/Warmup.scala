@@ -118,6 +118,10 @@ object Warmup {
         // stage-level reuse) around the same shapes
         graft.queries.Clean.c8Summary(cal)
           .write.mode("overwrite").format("noop").save()
+        // c8Summary pins its per-service encoding cache and defers the
+        // unpersist; warmup owns its own materializations, so drain
+        // here — warmup must stay side-effect free
+        graft.ops.Releases.drain()
       }
     } catch {
       case scala.util.control.NonFatal(e) =>

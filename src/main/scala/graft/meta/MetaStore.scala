@@ -33,9 +33,14 @@ final class MetaStore(root: Path) {
   val dbsDir: Path = root.resolve("dbs")
   private val tableFile = metaDir.resolve("latest_successful_imports.tsv")
   private val lockFile = metaDir.resolve(".import.lock")
+  private val versionsDir = metaDir.resolve("versions")
+  private val leasesDir = metaDir.resolve("leases")
+  private val currentFile = versionsDir.resolve("CURRENT")
 
   Files.createDirectories(metaDir)
   Files.createDirectories(dbsDir)
+  Files.createDirectories(versionsDir)
+  Files.createDirectories(leasesDir)
 
   // ---- T1: exclusive lock, NOWAIT ----------------------------------
   // An OS-level file-region lock, not an O_CREAT|O_EXCL marker file: the
@@ -132,13 +137,123 @@ final class MetaStore(root: Path) {
       }
     val (next, result) = body(current)
     val tmp = metaDir.resolve(s".latest_successful_imports.tmp")
-    Files.write(tmp,
-      next.map(r => s"${r.dbName}\t${r.importedAt}\t${r.feedDigest}").asJava,
+    val lines = next.map(r => s"${r.dbName}\t${r.importedAt}\t${r.feedDigest}")
+    Files.write(tmp, lines.asJava,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, tableFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    publishVersion(lines)
     result
   }
+
+  // ---- T5+: versioned manifest (Delta-commit-log-style) ------------
+  // In JDBC mode a reader mid-query holds MVCC snapshots, so the
+  // reference's retention never yanks data out from under it; pure file
+  // mode had no equivalent — retention could delete a db directory a
+  // long-running reader was still scanning. The fix is the commit-log
+  // pattern: every transact also writes an IMMUTABLE snapshot file
+  // (versions/v%012d.tsv) and atomically repoints versions/CURRENT at
+  // it; a reader that needs repeatable reads pins the current version
+  // with an expiring lease file, and the retention pass spares every
+  // db named by CURRENT or any unexpired lease. Writers never modify a
+  // published version file, so a pinned reader's view is frozen.
+  //
+  // Leases are expiry-based (no heartbeat): a crashed reader's lease
+  // ages out instead of pinning storage forever — the same tradeoff as
+  // Delta's vacuum retention window. The inherent race (a reader
+  // pinning between retention's lease scan and its deletes) is bounded
+  // by one retention pass and closed the usual way: pin FIRST, then
+  // resolve paths from the pinned snapshot, and size ttlSecs to the
+  // longest query.
+
+  /** A pinned manifest version; [[release]] is idempotent. */
+  final class Lease private[MetaStore] (val version: Long, file: Path) {
+    def release(): Unit = Files.deleteIfExists(file)
+  }
+
+  private def versionFile(v: Long): Path =
+    versionsDir.resolve(f"v$v%012d.tsv")
+
+  /** The newest published manifest version (0 = nothing published). */
+  def currentVersion(): Long =
+    if (Files.exists(currentFile)) Files.readString(currentFile).trim.toLong
+    else 0L
+
+  /** The import rows frozen in manifest version `v` (empty for v0 or a
+    * pruned version). */
+  def listImportsAt(v: Long): Seq[SuccessfulImport] = {
+    val f = versionFile(v)
+    if (v == 0L || !Files.exists(f)) Seq.empty
+    else Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val Array(n, ts, dg) = l.split("\t", 3)
+      SuccessfulImport(n, ts.toLong, dg)
+    }
+  }
+
+  private def publishVersion(lines: Seq[String]): Unit = {
+    val v = currentVersion() + 1
+    val tmp = versionsDir.resolve(s".v$v.tmp")
+    Files.write(tmp, lines.asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, versionFile(v), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    val ctmp = versionsDir.resolve(".CURRENT.tmp")
+    Files.writeString(ctmp, v.toString)
+    Files.move(ctmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // prune old snapshots: keep the newest 8 plus anything ANY lease
+    // file names — expiry is NOT judged here (the caller's clock is
+    // injectable, import.Config.now; only pinnedDbNames, which gets
+    // that clock, reaps). The files are a few hundred bytes — the
+    // 8-version margin is for readers racing the pointer, not disk.
+    val keep = (math.max(1, v - 7) to v).toSet ++
+      leaseVersions(reapBefore = None).map(_._2)
+    Using.resource(Files.list(versionsDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d{12}\\.tsv"))
+        .filterNot(p => keep.contains(
+          p.getFileName.toString.stripPrefix("v").stripSuffix(".tsv").toLong))
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  /** Pin the current manifest version for `ttlSecs`. `now` is epoch
+    * seconds (injectable for tests, like Import.Config.now). */
+  def pinCurrent(ttlSecs: Long,
+      now: () => Long = () => System.currentTimeMillis() / 1000): Lease = {
+    val v = currentVersion()
+    val f = leasesDir.resolve(
+      s"${java.util.UUID.randomUUID().toString.take(8)}.lease")
+    Files.writeString(f, s"$v\t${now() + ttlSecs}")
+    new Lease(v, f)
+  }
+
+  /** (leaseFile, version) per lease file. With `reapBefore = Some(t)`,
+    * leases expiring before `t` are deleted and excluded; with None,
+    * every lease file counts (no expiry judgment — used where the
+    * caller's clock is not available). */
+  private def leaseVersions(reapBefore: Option[Long]): Seq[(Path, Long)] =
+    Using.resource(Files.list(leasesDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".lease"))
+        .flatMap { f =>
+          try {
+            val Array(v, exp) = Files.readString(f).trim.split("\t", 2)
+            reapBefore match {
+              case Some(now) if exp.toLong < now =>
+                Files.deleteIfExists(f); None
+              case _ => Some(f -> v.toLong)
+            }
+          } catch { case _: Exception => None } // torn write: skip, not fail
+        }.toSeq
+    }
+
+  /** Every db name frozen in a version some unexpired lease pins —
+    * the set the retention pass must spare. Expired leases are reaped
+    * on the way through (`nowSecs` is the caller's clock). */
+  def pinnedDbNames(nowSecs: Long): Set[String] =
+    leaseVersions(reapBefore = Some(nowSecs)).map(_._2).distinct
+      .flatMap(listImportsAt(_).map(_.dbName)).toSet
 
   // ---- K4: DSN file write (atomic tmp+rename; import.js:289-308) ---
   def writeDsnFile(target: Path, dbName: String, host: String = "localhost",

@@ -108,9 +108,13 @@ object Import {
         s"[import] warning: recorded import ${d.dbName} has no database — dropping record"))
 
       // T4: retention — drop everything not retained, including orphan
-      // dirs from aborted imports (import.js:160-198).
+      // dirs from aborted imports (import.js:160-198). Dbs pinned by an
+      // unexpired reader lease are spared (T5+ versioned manifest): in
+      // file mode that lease is the analog of the MVCC snapshot a
+      // JDBC-mode reader holds mid-query.
       val retained = cfg.determineDbsToRetain(live, allDbs)
-      val victims = allDbs.filterNot(retained.contains)
+      val pinned = store.pinnedDbNames(cfg.now())
+      val victims = allDbs.filterNot(retained.contains).filterNot(pinned.contains)
       val deleted = victims.flatMap { v =>
         try {
           store.dropDatabase(v)

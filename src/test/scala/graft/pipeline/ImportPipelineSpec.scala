@@ -420,6 +420,47 @@ class ImportPipelineSpec extends SparkSpec {
     store.releaseLock()
   }
 
+  test("T5+: a reader lease on the versioned manifest survives the retention pass") {
+    val root = Files.createTempDirectory("store-lease")
+    val store = MetaStore(root.toString)
+    var clock = 1700000000L
+    def cfg(dir: Path, tag: String) =
+      mkCfg(root, dir, tag).copy(now = () => { clock += 10; clock })
+    def distinctFeed(n: Int) = TestFeed.writeTo(
+      Files.createTempDirectory(s"lease-f$n"),
+      _.updated("feed_info.txt",
+        s"feed_publisher_name,feed_publisher_url,feed_lang\nPub$n,https://p$n,DE\n"))
+    val r1 = Import.importGtfsAtomically(spark, cfg(distinctFeed(1), "l1"))
+    val db1 = r1.newImport.get.dbName
+    // a long-running reader pins the manifest version that names db1
+    val lease = store.pinCurrent(ttlSecs = 100000, now = () => clock)
+    assert(store.listImportsAt(lease.version).map(_.dbName) == Seq(db1))
+    // three more imports: newest-2 retention would normally reap db1
+    // (proven by the first test in this suite)
+    (2 to 4).foreach(n =>
+      Import.importGtfsAtomically(spark, cfg(distinctFeed(n), s"l$n")))
+    assert(Files.exists(store.databasePath(db1)),
+      "pinned db deleted out from under a leased reader")
+    // the pinned snapshot is still fully readable mid-retention
+    assert(spark.read.parquet(
+      store.databasePath(db1).resolve("agency").toString).count() > 0)
+    // release → the NEXT retention pass reaps it
+    lease.release()
+    Import.importGtfsAtomically(spark, cfg(distinctFeed(5), "l5"))
+    assert(!Files.exists(store.databasePath(db1)),
+      "released db must be reaped by the next retention pass")
+    // an EXPIRED lease pins nothing: pin, advance past ttl, import
+    val r6 = store.listImports("gtfs_").head
+    val expiring = store.pinCurrent(ttlSecs = 5, now = () => clock)
+    clock += 100000
+    Import.importGtfsAtomically(spark, cfg(distinctFeed(6), "l6"))
+    Import.importGtfsAtomically(spark, cfg(distinctFeed(7), "l7"))
+    Import.importGtfsAtomically(spark, cfg(distinctFeed(8), "l8"))
+    assert(!Files.exists(store.databasePath(r6.dbName)),
+      s"expired lease must not pin ${r6.dbName}")
+    expiring.release() // idempotent on an already-reaped lease file
+  }
+
   test("service loop: openLatestImport drains deferred releases — no net persistent-RDD growth") {
     import spark.implicits._
     val root = Files.createTempDirectory("store-drain")
