@@ -168,4 +168,59 @@ class ViewsSpec extends SparkSpec {
       .select("stop_name_translated").as[String].collect()
     assert(t.toSeq == Seq("Alexanderplatz Bhf"))
   }
+
+  test("V8 generic: record_sub_id scoping, field_value matching, id-over-value precedence") {
+    import spark.implicits._
+    val ns = null.asInstanceOf[String]
+    val stopTimes = Seq(("t1", 1, "HBF"), ("t1", 2, "ALEX"), ("t2", 1, "HBF"))
+      .toDF("trip_id", "stop_sequence", "stop_headsign")
+    val routes = Seq(("r1", "Ring"), ("r2", "Cross"))
+      .toDF("route_id", "route_long_name")
+    val tr = Seq(
+      // record_id + record_sub_id: addresses ONLY (t1, seq 2)
+      ("stop_times", "stop_headsign", "DE", "Alexplatz", "t1", "2", ns),
+      // record_id with NULL sub: every sub-record of t2
+      ("stop_times", "stop_headsign", "DE", "Hauptbahnhof", "t2", ns, ns),
+      // value-addressed: every route whose long name is "Ring"
+      ("routes", "route_long_name", "FR", "Anneau_val", ns, ns, "Ring"),
+      // id-addressed row for the SAME (record, language) → must win
+      ("routes", "route_long_name", "FR", "Anneau_id", "r1", ns, ns))
+      .toDF("table_name", "field_name", "language", "translation",
+        "record_id", "record_sub_id", "field_value")
+    val f: Clean.Feed = Map(
+      "stop_times" -> stopTimes, "routes" -> routes, "translations" -> tr)
+
+    val st = Views.translateField(f, "stop_times", "stop_headsign")
+      .select("record_key", "record_sub_key", "language", "stop_headsign_translated")
+      .as[(String, String, String, String)].collect().toSet
+    assert(st == Set(
+      ("t1", "2", "de", "Alexplatz"),    // sub-scoped hit
+      ("t1", "1", null, "HBF"),          // sub-scoped row does NOT leak to seq 1
+      ("t2", "1", "de", "Hauptbahnhof")  // null sub covers all of t2
+    ), s"got $st")
+
+    val rt = Views.translateField(f, "routes", "route_long_name")
+      .select("record_key", "language", "route_long_name_translated")
+      .as[(String, String, String)].collect().toSet
+    assert(rt == Set(
+      ("r1", "fr", "Anneau_id"),  // id beats value for the same (record, lang)
+      ("r2", null, "Cross")       // untranslated fallback row
+    ), s"got $rt")
+  }
+
+  test("V8 generic: tables without a record key resolve by field value") {
+    import spark.implicits._
+    val ns = null.asInstanceOf[String]
+    val feedInfo = Seq(Tuple1("My Feed")).toDF("feed_publisher_name")
+    val tr = Seq(
+      ("feed_info", "feed_publisher_name", "DE", "Mein Feed", ns, ns, "My Feed"))
+      .toDF("table_name", "field_name", "language", "translation",
+        "record_id", "record_sub_id", "field_value")
+    val out = Views.translateField(
+      Map("feed_info" -> feedInfo, "translations" -> tr),
+      "feed_info", "feed_publisher_name")
+      .select("language", "feed_publisher_name_translated")
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("de", "Mein Feed")), s"got $out")
+  }
 }

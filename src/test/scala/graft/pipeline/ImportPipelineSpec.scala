@@ -420,6 +420,23 @@ class ImportPipelineSpec extends SparkSpec {
     store.releaseLock()
   }
 
+  test("openLatestImport registers translated views for present translatable pairs only") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("store-trv")
+    val feed = TestFeed.writeTo(Files.createTempDirectory("ftrv"))
+    Import.importGtfsAtomically(spark, mkCfg(root, feed, "trv"))
+    assert(Import.openLatestImport(spark, root, "gtfs_").isDefined)
+    val t = spark.table("stops_translated")
+      .where("record_key = 's2' and language = 'de'")
+      .select("stop_name_translated").as[String].collect().toSeq
+    assert(t == Seq("Alexanderplatz Bhf"), s"got $t")
+    // routes.txt omits route_long_name but the schema'd scan (S3)
+    // carries every spec column, so the pair IS registered — with no
+    // translations its rows are pure fallback (language NULL)
+    val rt = spark.table("routes_translated")
+    assert(rt.count() == 2 && rt.where("language is not null").count() == 0)
+  }
+
   test("T5+: a reader lease on the versioned manifest survives the retention pass") {
     val root = Files.createTempDirectory("store-lease")
     val store = MetaStore(root.toString)
