@@ -421,7 +421,9 @@ object Clean {
       .withColumn("use_calendar",
         col("cost_cal") < col("n_dates") && col("n_covered") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.ops.Releases.defer(() => { enc.unpersist(false); () })
+    // blocking: runs at drain, post-materialization — memory must be
+    // observably freed when drain returns (WarmupSpec pins this)
+    graft.ops.Releases.defer(() => { enc.unpersist(true); () })
     val dowNames = Seq("monday", "tuesday", "wednesday", "thursday", "friday",
       "saturday", "sunday")
     val newCalendar = enc.where(col("use_calendar"))

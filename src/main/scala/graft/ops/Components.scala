@@ -78,19 +78,28 @@ object Components {
     }
     val finalCp = labelsCp
     Labels(labels.select(col("src").as("id"), col("label").as("component")),
-      iter, { () => Checkpoints.release(finalCp); Checkpoints.release(e) })
+      iter, { () =>
+        Checkpoints.release(finalCp, blocking = true)
+        Checkpoints.release(e, blocking = true)
+      })
   }
 }
 
 /** Unpersist the block-manager blocks behind a localCheckpoint'd
   * DataFrame: its analyzed plan is a LogicalRDD over the persisted RDD —
   * `Dataset.unpersist` only covers cacheManager entries and silently
-  * no-ops on checkpoint blocks. */
+  * no-ops on checkpoint blocks.
+  *
+  * `blocking = false` for mid-query releases of superseded snapshots
+  * (no barrier inside a timed loop); `blocking = true` for the
+  * end-of-query handles that run at [[Releases.drain]], so memory is
+  * actually freed — and observably gone from `getPersistentRDDs` —
+  * when drain returns. */
 private[ops] object Checkpoints {
-  def release(df: DataFrame): Unit =
+  def release(df: DataFrame, blocking: Boolean = false): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
+        lr.rdd.unpersist(blocking)
       case _ => ()
     }
 }

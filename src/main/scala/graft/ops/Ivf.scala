@@ -149,7 +149,7 @@ object Ivf {
       assigned = assign(vectors, centroids)
     }
     Index(assigned.select("vec_id", "cell"), centroids,
-      () => Checkpoints.release(vectors))
+      () => Checkpoints.release(vectors, blocking = true))
   }
 
   /** iterations == 1 build as one lazy plan (see [[buildIndex]] doc).

@@ -24,7 +24,15 @@ class WarmupSpec extends SparkSpec {
       Warmup.run(spark, "/root/testdata/sf0.001")
     }
     assert(!buf.toString("UTF-8").contains("DEGRADED"))
-    // the IVF warmup releases its checkpoint blocks
-    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+    // Drain-time release handles are blocking, so warmup's own blocks
+    // (IVF build, fixpoint final snapshot, c8 enc) are gone when run()
+    // returns. The fixpoint's MID-loop releases of superseded snapshots
+    // are intentionally non-blocking (no barrier inside the timed loop),
+    // so those removals may still be in flight — allow them a bounded
+    // grace period instead of asserting instantaneous cleanup.
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+    while (leaked.nonEmpty && System.nanoTime < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty)
   }
 }
