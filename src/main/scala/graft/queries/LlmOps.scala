@@ -1068,6 +1068,78 @@ object LlmOps {
         .agg(countDistinct("hv").as("n_overlap"))
     },
 
+    // Boilerplate filter (C4/RefinedWeb-style): a bigram is boilerplate
+    // when it appears in ≥5% of all documents; a document is flagged
+    // when ≥90% of its bigram instances are boilerplate (nav bars,
+    // cookie banners, templated footers). Thresholds are integer
+    // cross-multiplications — no ratio arithmetic to diverge across
+    // engines. The document-frequency threshold is RELATIVE (df·20 ≥
+    // n_docs), which is what makes the frequent set broadcastable at
+    // any corpus size: at most (total instances)/(0.05·n_docs) ≈
+    // 20·avg_doc_len distinct bigrams can clear it — a bound that does
+    // NOT grow with the corpus. Plan: df shuffles only map-side-deduped
+    // (hv, doc_id) pairs (never instances — the dedup rides inside the
+    // distinct-count aggregate), the scalar n_docs is a 1-row broadcast
+    // cross join, and the per-doc stats are one aggregation over the
+    // instance stream
+    // left-joined against the broadcast frequent set — instance rows
+    // never shuffle on hv.
+    "llm_boilerplate" -> QueryDef(
+      doc = "corpus-frequent-bigram boilerplate ratio + flag per doc",
+      oracle = """
+        |WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), shing AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS sh
+        |  FROM docs, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        |  WHERE len(toks) >= 2
+        |), s AS (
+        |  SELECT doc_id, substr(sha256(sh), 1, 12) AS hv FROM shing
+        |), df AS (
+        |  SELECT hv, count(DISTINCT doc_id) AS df FROM s GROUP BY hv
+        |), tot AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), boiler AS (
+        |  SELECT hv FROM df, tot WHERE df * 20 >= n_docs
+        |)
+        |SELECT s.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_sh,
+        |       CAST(count(b.hv) AS BIGINT) AS n_boiler,
+        |       CAST(CASE WHEN count(b.hv) * 10 >= count(*) * 9
+        |            THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM s LEFT JOIN boiler b ON s.hv = b.hv
+        |GROUP BY s.doc_id
+        |ORDER BY s.doc_id
+        |""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+      // bigram instances; Spark arrays are 0-based (DuckDB lists
+      // 1-based) — sequence(1, n-1) with toks[i-1]/toks[i] matches the
+      // oracle's (i, i+1) pairs exactly
+      val inst = docs.select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(toks[i-1], ' ', toks[i]))")).as("sh"))
+        .select(col("doc_id"), substring(sha2(col("sh"), 256), 1, 12).as("hv"))
+      // df: count_distinct plans map-side (hv, doc_id) dedup BEFORE the
+      // first exchange, so only deduped pairs ever shuffle (instances
+      // never do); the second, hv-only exchange moves one row per
+      // surviving pair group. A repartition(hv)-then-narrow-aggs
+      // formulation would be one exchange but of the FULL instance
+      // stream — strictly more bytes at any scale.
+      val df = inst.groupBy("hv").agg(count_distinct(col("doc_id")).as("df"))
+      val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val boiler = df.crossJoin(broadcast(total))
+        .where(col("df") * 20 >= col("n_docs"))
+        .select(col("hv"), lit(1).as("is_b"))
+      inst.join(broadcast(boiler), Seq("hv"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          count(col("is_b")).as("n_boiler"),
+          when(count(col("is_b")) * 10 >= count(lit(1)) * 9, 1L)
+            .otherwise(0L).as("flagged"))
+    },
+
     // Sequence packing: assign documents to fixed-token-budget training
     // bins via a running token sum — shard-local (here: per language)
     // exactly as production packs per input shard; the window partitions
