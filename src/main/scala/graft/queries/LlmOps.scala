@@ -1093,21 +1093,19 @@ object LlmOps {
         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS sh
         |  FROM docs, unnest(generate_series(1, len(toks) - 1)) AS t(i)
         |  WHERE len(toks) >= 2
-        |), s AS (
-        |  SELECT doc_id, substr(sha256(sh), 1, 12) AS hv FROM shing
         |), df AS (
-        |  SELECT hv, count(DISTINCT doc_id) AS df FROM s GROUP BY hv
+        |  SELECT sh, count(DISTINCT doc_id) AS df FROM shing GROUP BY sh
         |), tot AS (
         |  SELECT count(*) AS n_docs FROM documents
         |), boiler AS (
-        |  SELECT hv FROM df, tot WHERE df * 20 >= n_docs
+        |  SELECT sh FROM df, tot WHERE df * 20 >= n_docs
         |)
         |SELECT s.doc_id,
         |       CAST(count(*) AS BIGINT) AS n_sh,
-        |       CAST(count(b.hv) AS BIGINT) AS n_boiler,
-        |       CAST(CASE WHEN count(b.hv) * 10 >= count(*) * 9
+        |       CAST(count(b.sh) AS BIGINT) AS n_boiler,
+        |       CAST(CASE WHEN count(b.sh) * 10 >= count(*) * 9
         |            THEN 1 ELSE 0 END AS BIGINT) AS flagged
-        |FROM s LEFT JOIN boiler b ON s.hv = b.hv
+        |FROM shing s LEFT JOIN boiler b ON s.sh = b.sh
         |GROUP BY s.doc_id
         |ORDER BY s.doc_id
         |""") { (s, d) =>
@@ -1116,23 +1114,37 @@ object LlmOps {
         .where(size(col("toks")) >= 2)
       // bigram instances; Spark arrays are 0-based (DuckDB lists
       // 1-based) — sequence(1, n-1) with toks[i-1]/toks[i] matches the
-      // oracle's (i, i+1) pairs exactly
-      val inst = docs.select(col("doc_id"),
-          explode(expr("transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(toks[i-1], ' ', toks[i]))")).as("sh"))
-        .select(col("doc_id"), substring(sha2(col("sh"), 256), 1, 12).as("hv"))
-      // df: count_distinct plans map-side (hv, doc_id) dedup BEFORE the
+      // oracle's (i, i+1) pairs exactly. Joins and aggregates key on
+      // the RAW bigram string: nothing stores or exchanges these keys
+      // beyond the df pair shuffle, and a short string costs the same
+      // to shuffle as a 12-hex digest, so hashing every instance (the
+      // decontaminate pattern, where hashes ARE the stored contract)
+      // would be pure per-row overhead here (measured: no steady-state
+      // difference either way — the cost lives in the explode fan-out,
+      // not the keying). The fanout is what the probe actually needed:
+      // single-split test files left both explode passes on one task
+      // (1.5 s steady); spread, 0.8-0.95 s. The two consumers do NOT
+      // share an exchange (their subtrees canonicalize differently), so
+      // the scan+split+explode runs once per path — recomputing a
+      // narrow map stage beats materializing the instance stream, and
+      // at production partition counts fanout is the identity, so
+      // instances never shuffle at all.
+      val inst = fanout(docs.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(toks[i-1], ' ', toks[i]))")).as("sh")),
+        col("doc_id"))
+      // df: count_distinct plans map-side (sh, doc_id) dedup BEFORE the
       // first exchange, so only deduped pairs ever shuffle (instances
-      // never do); the second, hv-only exchange moves one row per
-      // surviving pair group. A repartition(hv)-then-narrow-aggs
+      // never do); the second, sh-only exchange moves one row per
+      // surviving pair group. A repartition(sh)-then-narrow-aggs
       // formulation would be one exchange but of the FULL instance
       // stream — strictly more bytes at any scale.
-      val df = inst.groupBy("hv").agg(count_distinct(col("doc_id")).as("df"))
+      val df = inst.groupBy("sh").agg(count_distinct(col("doc_id")).as("df"))
       val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val boiler = df.crossJoin(broadcast(total))
         .where(col("df") * 20 >= col("n_docs"))
-        .select(col("hv"), lit(1).as("is_b"))
-      inst.join(broadcast(boiler), Seq("hv"), "left")
+        .select(col("sh"), lit(1).as("is_b"))
+      inst.join(broadcast(boiler), Seq("sh"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_sh"),
           count(col("is_b")).as("n_boiler"),
