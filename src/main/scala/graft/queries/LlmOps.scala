@@ -52,6 +52,47 @@ object LlmOps {
   private def shingles(tokens: Column): Column =
     graft.ops.Winnow.shingles(tokens)
 
+  /** Bigram instance rows (doc_id, sh) of a `documents`-shaped frame;
+    * docs with <2 tokens drop (no bigram exists). Shared by the batch
+    * `llm_boilerplate` operator and the frequent-set build the
+    * streaming scorer consumes. */
+  def bigramInstances(documents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+    // Spark arrays are 0-based (DuckDB lists 1-based) — sequence(1, n-1)
+    // with toks[i-1]/toks[i] matches the oracle's (i, i+1) pairs exactly
+    fanout(docs.select(col("doc_id"),
+      explode(expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> concat(toks[i-1], ' ', toks[i]))")).as("sh")),
+      col("doc_id"))
+  }
+
+  /** The corpus-frequent bigram set behind `llm_boilerplate` (one `sh`
+    * column): document frequency ≥ 5% of all documents. The RELATIVE
+    * threshold bounds the set corpus-independently — at most
+    * total_instances/(0.05·n_docs) ≈ 20·avg_doc_len bigrams can clear
+    * it — which is what makes it broadcastable at any corpus size, and
+    * exactly the artifact a periodic batch pass publishes for the
+    * streaming scorer ([[graft.streaming.Streams.boilerplateScoreStream]])
+    * to score against. */
+  def frequentBigrams(documents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // df: count_distinct plans map-side (sh, doc_id) dedup BEFORE the
+    // first exchange, so only deduped pairs ever shuffle (instances
+    // never do); the second, sh-only exchange moves one row per
+    // surviving pair group. A repartition(sh)-then-narrow-aggs
+    // formulation would be one exchange but of the FULL instance
+    // stream — strictly more bytes at any scale.
+    val df = bigramInstances(documents).groupBy("sh")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val total = documents.agg(count(lit(1)).as("n_docs"))
+    df.crossJoin(broadcast(total))
+      .where(col("df") * 20 >= col("n_docs"))
+      .select(col("sh"))
+  }
+
   private val shingleSql = // per-doc shingle rows; expects `toks` list col
     """SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
       |FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
@@ -1109,42 +1150,25 @@ object LlmOps {
         |GROUP BY s.doc_id
         |ORDER BY s.doc_id
         |""") { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .where(size(col("toks")) >= 2)
-      // bigram instances; Spark arrays are 0-based (DuckDB lists
-      // 1-based) — sequence(1, n-1) with toks[i-1]/toks[i] matches the
-      // oracle's (i, i+1) pairs exactly. Joins and aggregates key on
-      // the RAW bigram string: nothing stores or exchanges these keys
-      // beyond the df pair shuffle, and a short string costs the same
-      // to shuffle as a 12-hex digest, so hashing every instance (the
-      // decontaminate pattern, where hashes ARE the stored contract)
-      // would be pure per-row overhead here (measured: no steady-state
-      // difference either way — the cost lives in the explode fan-out,
-      // not the keying). The fanout is what the probe actually needed:
-      // single-split test files left both explode passes on one task
-      // (1.5 s steady); spread, 0.8-0.95 s. The two consumers do NOT
-      // share an exchange (their subtrees canonicalize differently), so
-      // the scan+split+explode runs once per path — recomputing a
-      // narrow map stage beats materializing the instance stream, and
-      // at production partition counts fanout is the identity, so
-      // instances never shuffle at all.
-      val inst = fanout(docs.select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(toks) - 1), " +
-          "i -> concat(toks[i-1], ' ', toks[i]))")).as("sh")),
-        col("doc_id"))
-      // df: count_distinct plans map-side (sh, doc_id) dedup BEFORE the
-      // first exchange, so only deduped pairs ever shuffle (instances
-      // never do); the second, sh-only exchange moves one row per
-      // surviving pair group. A repartition(sh)-then-narrow-aggs
-      // formulation would be one exchange but of the FULL instance
-      // stream — strictly more bytes at any scale.
-      val df = inst.groupBy("sh").agg(count_distinct(col("doc_id")).as("df"))
-      val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      val boiler = df.crossJoin(broadcast(total))
-        .where(col("df") * 20 >= col("n_docs"))
+      // Joins and aggregates key on the RAW bigram string: nothing
+      // stores or exchanges these keys beyond the df pair shuffle, and
+      // a short string costs the same to shuffle as a 12-hex digest, so
+      // hashing every instance (the decontaminate pattern, where hashes
+      // ARE the stored contract) would be pure per-row overhead here
+      // (measured: no steady-state difference either way — the cost
+      // lives in the explode fan-out, not the keying). The instance
+      // fanout is what the probe actually needed: single-split test
+      // files left both explode passes on one task (1.5 s steady);
+      // spread, 0.8-0.95 s. The two consumers do NOT share an exchange
+      // (their subtrees canonicalize differently), so scan+split+
+      // explode runs once per path — recomputing a narrow map stage
+      // beats materializing the instance stream, and at production
+      // partition counts fanout is the identity, so instances never
+      // shuffle at all.
+      val boiler = frequentBigrams(Tables.documents(s, d))
         .select(col("sh"), lit(1).as("is_b"))
-      inst.join(broadcast(boiler), Seq("sh"), "left")
+      bigramInstances(Tables.documents(s, d))
+        .join(broadcast(boiler), Seq("sh"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_sh"),
           count(col("is_b")).as("n_boiler"),

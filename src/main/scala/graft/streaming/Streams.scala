@@ -106,6 +106,44 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_digest")
 
+  /** Streaming boilerplate scoring — the ingest-time flavor of batch
+    * `llm_boilerplate`. The corpus-global document-frequency pass
+    * cannot stream (df needs the whole corpus), so production splits
+    * the operator the same way decontamination splits from benchmark
+    * curation: a periodic batch pass publishes the frequent-bigram set
+    * ([[graft.queries.LlmOps.frequentBigrams]] — bounded
+    * corpus-independently by the relative threshold, hence always
+    * broadcastable), and the stream scores each arriving document
+    * against it STATELESSLY: the static set collapses to a one-row
+    * array broadcast-joined on a constant key, and the per-doc counts
+    * are higher-order functions over that array — no streaming
+    * aggregation, no state store, no shuffle; scoring rides the ingest
+    * map task. Same thresholds and output columns as the batch op
+    * (doc_id, n_sh, n_boiler, flagged), so scoring a static drop-dir
+    * under `Trigger.AvailableNow` with the batch-built set equals the
+    * batch answer row-for-row (StreamBatchEquivSpec). */
+  def boilerplateScoreStream(docs: DataFrame, frequent: DataFrame): DataFrame = {
+    val freq = broadcast(
+      frequent.agg(collect_set(col("sh")).as("freq_set"))
+        .withColumn("jk", lit(1)))
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .withColumn("jk", lit(1))
+      // stream-static equi join on a constant key: BroadcastHashJoin of
+      // the 1-row set, re-planned (and re-read) per micro-batch — which
+      // is also the refresh path when the batch pass republishes
+      .join(freq, Seq("jk"))
+      .withColumn("bigrams", expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> concat(toks[i-1], ' ', toks[i]))"))
+      .select(col("doc_id"),
+        size(col("bigrams")).cast("long").as("n_sh"),
+        size(expr("filter(bigrams, b -> array_contains(freq_set, b))"))
+          .cast("long").as("n_boiler"))
+      .withColumn("flagged",
+        when(col("n_boiler") * 10 >= col("n_sh") * 9, 1L).otherwise(0L))
+  }
+
   final case class BandRow(docId: Long, ts: java.sql.Timestamp,
       band: Int, bucket: Long)
   final case class BucketAnchor(anchorId: Long)

@@ -154,4 +154,41 @@ class StreamBatchEquivSpec extends SparkSpec {
     assert(batch.contains((20L, 21L)) && batch.contains((20L, 22L)) &&
       batch.contains((21L, 22L)))
   }
+
+  test("boilerplate scoring stream with the batch-built set equals batch llm_boilerplate") {
+    import spark.implicits._
+    // 40 docs: a 2-bigram template ("cookie banner", "banner accept")
+    // recurs in 30 docs (df 30 ≥ 40/20 = frequent); each doc's filler
+    // bigrams are unique (df 1 < 2 = not frequent). Template-only docs
+    // score 100% boilerplate (flagged); template+filler docs land
+    // below the 90% bar; filler-only docs at 0%.
+    val rows = (0L until 40L).map { i =>
+      val filler = s"u${i}a u${i}b u${i}c u${i}d"
+      i -> (if (i < 10) "cookie banner accept"
+            else if (i < 30) s"cookie banner accept $filler"
+            else filler)
+    }
+    val drop = writeDropDir(rows)
+    val batchDir = writeBatchDir(rows)
+    // the periodic batch pass publishes the frequent set…
+    val frequent = graft.queries.LlmOps.frequentBigrams(
+      spark.read.parquet(batchDir.resolve("documents.parquet").toString))
+    // …and the stream scores arrivals against it, statelessly
+    val stream = spark.readStream.schema(docSchema).parquet(drop.toString)
+    runAvailableNow(Streams.boilerplateScoreStream(stream, frequent),
+      "equiv_boiler")
+    val streamed = spark.table("equiv_boiler")
+      .select("doc_id", "n_sh", "n_boiler", "flagged")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("llm_boilerplate")(spark, batchDir.toString)
+      .select("doc_id", "n_sh", "n_boiler", "flagged")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // same frequent set + same thresholds ⇒ row-for-row equality
+    assert(streamed == batch,
+      s"stream-only: ${streamed -- batch}\nbatch-only: ${batch -- streamed}")
+    // and the fixture discriminates: some flagged, some not
+    val flagged = batch.filter(_._4 == 1L).map(_._1)
+    assert(flagged == (0L until 10L).toSet, s"flagged: $flagged")
+    assert(batch.count(_._4 == 0L) == 30)
+  }
 }
