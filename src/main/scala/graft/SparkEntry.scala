@@ -18,6 +18,7 @@ object SparkEntry {
     q.Clean.defs,
     q.LlmOps.defs,
     q.GeoOps.defs,
+    q.Events.defs,
   )
 
   private lazy val defs: Map[String, QueryDef] = {
