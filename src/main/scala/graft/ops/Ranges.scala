@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed point-in-interval (range) join: pair each point with
+  * every interval containing it, half-open `start <= p < end` — the
+  * second classic join Spark's equi-join planner can't express (it
+  * falls back to BroadcastNestedLoopJoin, which is fine ONLY when one
+  * side broadcasts; DuckDB ships a specialized inequality join, which
+  * is this operator's oracle).
+  *
+  * Shape: bucketize the shared domain at a fixed width, explode each
+  * interval over the buckets it touches, equi-join points on bucket,
+  * then filter the exact containment predicate. The equi join gives
+  * Catalyst a hash key — shuffle or broadcast chosen as usual, AQE
+  * skew-split applies — and the intermediate size is
+  * intervals × (span/width + 1) + matched pairs, NEVER the cross
+  * product. `bucketWidth` is the knob: ~the median interval span
+  * minimizes (explode fan-out) × (points per bucket); callers with
+  * heavy-tailed spans should cap or split outlier intervals first
+  * (a pathological interval explodes span/width bucket rows).
+  *
+  * Bucket assignment uses truncating `div` on both sides; it is
+  * monotone, so every contained point's bucket falls inside the
+  * interval's exploded bucket range even across a zero crossing
+  * (buckets near zero are merely narrower). Degenerate intervals
+  * (end <= start) contain nothing and drop early.
+  */
+object Ranges {
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = intervals.columns.toSet.intersect(points.columns.toSet)
+    require(overlap.isEmpty, s"points/intervals name collision: $overlap")
+    val iv = intervals.where(col(endCol) > col(startCol))
+      .withColumn("_b", explode(expr(
+        s"sequence($startCol div $bucketWidth, ($endCol - 1) div $bucketWidth)")))
+    points.withColumn("_b", expr(s"$pointCol div $bucketWidth"))
+      .join(iv, Seq("_b"))
+      .where(col(startCol) <= col(pointCol) && col(pointCol) < col(endCol))
+      .drop("_b")
+  }
+}

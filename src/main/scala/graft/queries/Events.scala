@@ -52,5 +52,46 @@ object Events {
         leftTs = "uts", rightTs = "rts")
         .select("event_id", "user_id", "view_id")
     },
+
+    // Point-in-interval (range) join: for each order date, how many
+    // lineitems were in their delivery window (ship day, half-open
+    // span of l_quantity days) — in-transit inventory by day, the
+    // interval-overlap aggregation. Spark has no inequality join
+    // operator (naive form = BroadcastNestedLoopJoin, broadcast-only);
+    // ops.Ranges buckets the day domain at 7 days (~median span of the
+    // 1-50-day windows) so the pairing is an EQUI join Catalyst can
+    // shuffle/broadcast/AQE-split as usual. Both engines work in
+    // epoch-DAY integers (timestamps are UTC midnights; floor(epoch/
+    // 86400) and `CAST AS LONG div 86400` agree on positive epochs),
+    // and quantities are integral doubles, so the cast is exact.
+    "q8_range_in_transit" -> QueryDef(
+      doc = "range join: in-transit lineitem count per order date",
+      oracle = """
+        |WITH li AS (
+        |  SELECT CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS s_day,
+        |         CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)
+        |           + CAST(l_quantity AS BIGINT) AS e_day
+        |  FROM lineitem
+        |), d AS (
+        |  SELECT DISTINCT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+        |    AS p_day
+        |  FROM orders
+        |)
+        |SELECT d.p_day AS day, count(*) AS n_transit
+        |FROM d JOIN li ON li.s_day <= d.p_day AND d.p_day < li.e_day
+        |GROUP BY 1 ORDER BY 1
+        |""") { (s, d) =>
+      val li = Tables.lineitem(s, d).select(
+        (epochS(col("l_shipdate")) / 86400).cast("long").as("s_day"),
+        ((epochS(col("l_shipdate")) / 86400).cast("long")
+          + col("l_quantity").cast("long")).as("e_day"))
+      val days = Tables.orders(s, d)
+        .select((epochS(col("o_orderdate")) / 86400).cast("long").as("p_day"))
+        .distinct()
+      graft.ops.Ranges.pointInInterval(days, "p_day", li, "s_day", "e_day",
+          bucketWidth = 7L)
+        .groupBy(col("p_day").as("day"))
+        .agg(count(lit(1)).as("n_transit"))
+    },
   )
 }

