@@ -73,6 +73,28 @@ object Warmup {
           .write.mode("overwrite").format("noop").save()
         ix.release()
       }
+      // as-of (union-tag + last-over-window on a struct payload) and
+      // range-join (sequence explode + equi join + range filter) shapes
+      // behind q7/q8 — tiny nation-derived frames compile the same
+      // generated code the event-scale queries run
+      locally {
+        val n = Tables.nation(spark, sfDir)
+          .select(col("n_nationkey").as("id"), col("n_regionkey").as("k"),
+            (col("n_nationkey") * 3).as("ts"))
+        val r = Tables.nation(spark, sfDir)
+          .select(col("n_regionkey").as("k"), (col("n_nationkey") * 2).as("rts"),
+            col("n_name").as("payload"))
+          .groupBy("k", "rts").agg(max("payload").as("pay"))
+        graft.ops.AsOf.backward(n, r, Seq("k"), "ts", "rts")
+          .write.mode("overwrite").format("noop").save()
+        val iv = Tables.nation(spark, sfDir)
+          .select(col("n_nationkey").as("iid"), (col("n_nationkey") * 2).as("s"),
+            (col("n_nationkey") * 2 + col("n_regionkey")).as("e"))
+        graft.ops.Ranges.pointInInterval(
+            Tables.nation(spark, sfDir).select(col("n_nationkey").as("pid"),
+              (col("n_nationkey") * 2).as("p")), "p", iv, "s", "e", 7L)
+          .write.mode("overwrite").format("noop").save()
+      }
       // banded random-hyperplane LSH shapes (sign-bit aggregation, band
       // keys, bucket self-join): llm_cluster_fixpoint sorts BEFORE the
       // llm_cosine_* queries, so without this it pays their first
