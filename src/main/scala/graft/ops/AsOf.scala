@@ -64,4 +64,19 @@ object AsOf {
       .where(col("_side") === lSide)
       .select(col("_lrow.*") +: payCols.map(c => col(s"_match.$c").as(c)): _*)
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row whose
+    * time is ≥ (`strict = true`: >) the left row's time within the
+    * same key group. Time reversal maps it onto [[backward]] — negate
+    * both time columns, run backward, restore — so the two directions
+    * share one window implementation and one set of edge semantics.
+    * Long.MinValue has no negation; times must exceed it (any real
+    * epoch does). */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, strict: Boolean = false): DataFrame = {
+    val lNeg = left.withColumn(leftTs, -col(leftTs))
+    val rNeg = right.withColumn(rightTs, -col(rightTs))
+    backward(lNeg, rNeg, keys, leftTs, rightTs, strict)
+      .withColumn(leftTs, -col(leftTs))
+  }
 }

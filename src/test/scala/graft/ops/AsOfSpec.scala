@@ -50,6 +50,39 @@ class AsOfSpec extends SparkSpec {
     assert(run(strict = true) == Seq("before"))
   }
 
+  test("forward: earliest at-or-after right row, strict looks past equal ts") {
+    val rnd = new scala.util.Random(29)
+    (1 to 4).foreach { case_i =>
+      val l = (0 until rnd.nextInt(25)).map(i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(40).toLong))
+      val r = Seq.fill(rnd.nextInt(25))(
+          (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong))
+        .distinct.map { case (k, ts) => (k, ts, s"p$k-$ts") }
+      if (r.nonEmpty) {
+        for (strict <- Seq(false, true)) {
+          val want = l.map { case (id, k, ts) =>
+            val cands = r.filter { case (rk, rts, _) =>
+              rk == k && (if (strict) rts > ts else rts >= ts) }
+            id -> (if (cands.isEmpty) None else Some(cands.minBy(_._2)._3))
+          }.toMap
+          val got = AsOf.forward(l.toDF("id", "k", "ts"),
+              r.toDF("k", "rts", "payload"), Seq("k"), "ts", "rts", strict)
+            .select("id", "payload").as[(Long, Option[String])]
+            .collect().toMap
+          assert(got == want, s"case $case_i strict=$strict")
+        }
+      }
+    }
+  }
+
+  test("forward restores the left time column") {
+    val lDf = Seq((1L, 0L, 10L)).toDF("id", "k", "ts")
+    val rDf = Seq((0L, 12L, "next")).toDF("k", "rts", "payload")
+    val got = AsOf.forward(lDf, rDf, Seq("k"), "ts", "rts")
+      .select("id", "ts", "payload").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 10L, "next")))
+  }
+
   test("left rows with no qualifying right row carry null payload") {
     val lDf = Seq((1L, 0L, 5L), (2L, 9L, 50L)).toDF("id", "k", "ts")
     val rDf = Seq((0L, 7L, "late")).toDF("k", "rts", "payload")
