@@ -42,4 +42,30 @@ object Ranges {
       .where(col(startCol) <= col(pointCol) && col(pointCol) < col(endCol))
       .drop("_b")
   }
+
+  /** Interval-overlap join: pair rows of `a` and `b` whose half-open
+    * intervals intersect (`sA < eB && sB < eA`), optionally within
+    * equal `keys`. Same bucketization as [[pointInInterval]]; a pair
+    * whose intervals share several buckets would match once per shared
+    * bucket, so each pair is emitted ONLY in the bucket containing its
+    * overlap's start — `greatest(sA, sB) div width`, which truncating
+    * div's monotonicity guarantees is in both sides' bucket
+    * enumerations (div commutes with max) — making the join
+    * exactly-once without a distinct pass. Non-key column names must
+    * be disjoint across `a` and `b`. */
+  def intervalOverlap(a: DataFrame, b: DataFrame, keys: Seq[String],
+      startA: String, endA: String, startB: String, endB: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = a.columns.toSet.intersect(b.columns.toSet) -- keys
+    require(overlap.isEmpty, s"non-key column collision: $overlap")
+    def exploded(df: DataFrame, s: String, e: String) =
+      df.where(col(e) > col(s)).withColumn("_b", explode(expr(
+        s"sequence($s div $bucketWidth, ($e - 1) div $bucketWidth)")))
+    exploded(a, startA, endA)
+      .join(exploded(b, startB, endB), keys :+ "_b")
+      .where(col(startA) < col(endB) && col(startB) < col(endA) &&
+        col("_b") === expr(s"greatest($startA, $startB) div $bucketWidth"))
+      .drop("_b")
+  }
 }

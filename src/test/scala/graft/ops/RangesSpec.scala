@@ -29,6 +29,31 @@ class RangesSpec extends SparkSpec {
     }
   }
 
+  test("overlap property: matches brute force exactly-once, keyed (8 cases)") {
+    val rnd = new scala.util.Random(37)
+    (1 to 8).foreach { case_i =>
+      def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+        val s = rnd.nextInt(50).toLong - 25L
+        (idBase + i, rnd.nextInt(3).toLong, s, s + rnd.nextInt(14) - 2L)
+      }
+      val as = mk(1 + rnd.nextInt(20), 0L)
+      val bs = mk(1 + rnd.nextInt(20), 1000L)
+      val width = 1L + rnd.nextInt(9)
+      val want = (for {
+        (ida, ka, sa, ea) <- as if ea > sa
+        (idb, kb, sb, eb) <- bs if eb > sb
+        if ka == kb && sa < eb && sb < ea
+      } yield (ida, idb)).toList.sorted
+      // a LIST compare (not a set): duplicates from multi-bucket pairs
+      // would be visible here
+      val got = Ranges.intervalOverlap(
+          as.toDF("ida", "k", "sa", "ea"), bs.toDF("idb", "k", "sb", "eb"),
+          Seq("k"), "sa", "ea", "sb", "eb", width)
+        .select("ida", "idb").as[(Long, Long)].collect().toList.sorted
+      assert(got == want, s"case $case_i width=$width")
+    }
+  }
+
   test("half-open boundaries: start included, end excluded") {
     val pts = Seq((1L, 10L), (2L, 20L)).toDF("pid", "p")
     val ivs = Seq((9L, 10L, 20L)).toDF("iid", "s", "e")
