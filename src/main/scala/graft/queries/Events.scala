@@ -131,5 +131,54 @@ object Events {
         .groupBy(col("pk").as("l_partkey"))
         .agg(count(lit(1)).as("n_pairs"))
     },
+
+    // Batch sessionization (gaps-and-islands): split each user's event
+    // stream at >30-minute silences, emit per-session stats — the
+    // batch counterpart of streaming/Streams.sessionize's
+    // mapGroupsWithState. Two windows over the SAME (user_id, ts)
+    // partitioning — lag to mark gap starts, running sum to number
+    // sessions — so Catalyst plans ONE exchange + one sort for the
+    // pair; per-user state is the window frame, never the corpus. Both
+    // engines work in epoch-second integers (events ts is ns-precision;
+    // µs-truncation then second-floor agree).
+    "q10_sessionize" -> QueryDef(
+      doc = "gaps-and-islands sessionization: 30-min gap rule per user",
+      oracle = """
+        |WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, sec,
+        |         CASE WHEN sec - lag(sec) OVER w > 1800 OR
+        |                   lag(sec) OVER w IS NULL
+        |              THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+        |), numbered AS (
+        |  SELECT user_id, sec,
+        |         sum(is_start) OVER (PARTITION BY user_id ORDER BY sec
+        |                             ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM marked
+        |)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |       count(*) AS n_events,
+        |       min(sec) AS start_sec, max(sec) - min(sec) AS dur_sec
+        |FROM numbered GROUP BY 1, 2
+        |ORDER BY 1, 2
+        |""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("sec")
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) / 1000000).cast("long").as("sec"))
+        .withColumn("is_start",
+          when(col("sec") - lag("sec", 1).over(byUser) > 1800 ||
+            lag("sec", 1).over(byUser).isNull, 1).otherwise(0))
+        .withColumn("session_no", sum("is_start").over(run).cast("long"))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"),
+          min("sec").as("start_sec"),
+          (max("sec") - min("sec")).as("dur_sec"))
+    },
   )
 }
