@@ -19,6 +19,7 @@ object SparkEntry {
     q.LlmOps.defs,
     q.GeoOps.defs,
     q.Events.defs,
+    q.Warehouse.defs,
   )
 
   private lazy val defs: Map[String, QueryDef] = {

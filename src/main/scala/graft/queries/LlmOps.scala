@@ -1021,6 +1021,129 @@ object LlmOps {
         .select("doc_id", "lang")
     },
 
+    // Per-source document cap (CommonCrawl-style domain capping): keep
+    // an EXACT k docs per source, chosen by deterministic content-hash
+    // order so the selection is stable across retries and layouts. The
+    // rank<=k filter triggers WindowGroupLimit: each map task keeps
+    // only its local top-k per source before the shuffle, so window
+    // state is k rows per (task, source), never the source's documents.
+    // Contrast llm_sample_weighted (expected-rate Bernoulli, map-only):
+    // the cap is exact but pays one shuffle; the rate is shuffle-free
+    // but approximate per source.
+    "llm_domain_cap" -> QueryDef(
+      doc = "exact per-source cap by deterministic hash order (WindowGroupLimit)",
+      oracle = """
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |             ORDER BY CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT),
+        |                      doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY source, rk
+        |""") { (s, d) =>
+      val h = conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long")
+      val w = Window.partitionBy("source").orderBy(h.asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).cast("long").as("rk"))
+        .where(col("rk") <= 10)
+    },
+
+    // Inverse-frequency (temperature-flattening) sampling: downsample
+    // each source toward an expected ~15 docs by hashing content
+    // against a per-source integer threshold — all arithmetic is
+    // integer (150000 div n, hash mod 10000), so both engines agree
+    // exactly at the acceptance boundary; a float rate (pow/log
+    // temperature curves) can disagree in the last ulp between engines
+    // and flip boundary rows. Per-source counts are a bounded dim —
+    // broadcast joined back, so the filter itself stays map-only
+    // against the corpus scan.
+    "llm_sample_weighted" -> QueryDef(
+      doc = "inverse-frequency source flattening via integer hash threshold",
+      oracle = """
+        |WITH n AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1)
+        |SELECT doc_id, d.source FROM documents d JOIN n USING (source)
+        |WHERE CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) % 10000
+        |      < least(10000, 150000 // n_src)
+        |""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val h = conv(substring(sha2(col("text"), 256), 1, 8), 16, 10)
+        .cast("long") % 10000
+      // positive operands: cast-truncation == DuckDB's floor int-div
+      val thresh = least(lit(10000L), (lit(150000L) / col("n_src")).cast("long"))
+      docs.join(broadcast(n), Seq("source"))
+        .where(h < thresh)
+        .select("doc_id", "source")
+    },
+
+    // Cross-document repeated-substring score (the signal behind
+    // substring-level dedup, Lee et al. 2022 "Deduplicating Training
+    // Data Makes Language Models Better"): for each doc, how many of
+    // its DISTINCT word-8-grams also occur in at least one other doc.
+    // Shape choices, each measured at sf0.1:
+    //   - per-doc dedup is array_distinct INSIDE the row (map-side,
+    //     free) — a global `.distinct()` shuffled the pair set once
+    //     just to dedup keys that never collide across docs;
+    //   - gram keys are 60-bit longs (conv of the sha256 prefix, the
+    //     engine-portable numeric-hash idiom) — 64-char hex strings
+    //     tripled the exchange bytes and the agg compare cost;
+    //   - the exploded pair set is repartition(gh)-pinned ONCE (the c8
+    //     pattern): the doc-frequency agg consumes it partition-local
+    //     and the map-back join consumes the same exchange via
+    //     ReusedExchange, so the corpus is scanned and shuffled exactly
+    //     once. Pair space is corpus-linear, never quadratic; the
+    //     frequent-gram side is count-bounded and broadcasts.
+    // Probed sf0.1 steady 1.9-2.4 s (host-load-dependent) vs 2.4-2.6
+    // for the string-keyed global-distinct form and 2.7+ for a
+    // codegen'd explode-positions rewrite (generator row traffic plus
+    // a dedup agg over every gram instance outweigh the interpreted
+    // lambda). The residual over DuckDB (~0.2 s) is multi-stage AQE
+    // scheduling on a corpus small enough to fit one DuckDB morsel —
+    // the shape itself is one scan + one shuffle + bounded broadcast.
+    "llm_repeated_ngrams" -> QueryDef(
+      doc = "per-doc count of 8-grams shared with other docs (substring dedup)",
+      oracle = """
+        |WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST('0x' || substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 15)
+        |              AS BIGINT) AS gh
+        |  FROM w, unnest(range(1, len(ws) - 6)) AS t(i)
+        |  WHERE len(ws) >= 8
+        |), cnt AS (
+        |  SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2
+        |)
+        |SELECT g.doc_id, count(*) AS n_shared
+        |FROM g JOIN cnt USING (gh)
+        |GROUP BY 1 ORDER BY 1
+        |""") { (s, d) =>
+      val words = split(col("text"), " ")
+      // per-doc dedup INSIDE the row (array_distinct) — grams never
+      // collide across docs' pair rows, so a global distinct shuffle
+      // is pure waste. The interpreted higher-order lambda measured
+      // FASTER than the codegen'd explode-positions rewrite (1.9 s vs
+      // 2.7 s steady at sf0.1): the HOF computes each gram once per
+      // doc, while the exploded form pays generator row traffic plus a
+      // partition-local dedup agg over every instance.
+      val grams = array_distinct(transform(
+        sequence(lit(0), size(words) - 8),
+        i => conv(substring(
+          sha2(array_join(slice(words, i + 1, lit(8)), " "), 256), 1, 15),
+          16, 10).cast("long")))
+      val g = Tables.documents(s, d)
+        .where(size(words) >= 8)
+        .select(col("doc_id"), explode(grams).as("gh"))
+        .repartition(col("gh"))
+      // g is distinct per (doc_id, gh), so doc-frequency = count(*)
+      val hot = g.groupBy("gh").agg(count(lit(1)).as("nd"))
+        .where(col("nd") >= 2)
+        .select("gh")
+      g.join(hot, Seq("gh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    },
+
     // Heavy hitters: top-10 tokens per language. Two-level aggregation
     // (map-side partial count combine) + per-stratum rank; Spark's
     // WindowGroupLimit caps per-partition window state at k once the

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Warehouse-maintenance operators: multi-level aggregation (rollup,
+  * pivot) and snapshot-maintenance (CDC merge/upsert, SCD2 history
+  * build). These are the lakehouse table-maintenance surface a
+  * production deployment runs alongside the analytics queries — the
+  * reference's import-replace model (SURVEY §2.9 T2/T5) is the
+  * whole-table special case of the keyed CDC merge here.
+  */
+object Warehouse {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Multi-level aggregation in ONE pass: ROLLUP emits (flag, status),
+    // (flag, ALL), (ALL, ALL) grand total from a single scan — Spark
+    // plans Expand + one HashAggregate, not three scans + union.
+    // grouping_id() disambiguates levels bit-identically in both
+    // engines; rolled-up keys are coalesced to 'ALL' so the compare
+    // never sorts on engine-dependent NULL placement.
+    "q11_rollup" -> QueryDef(
+      doc = "single-pass ROLLUP: per-(flag,status), per-flag, grand total",
+      oracle = """
+        |SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2
+        |""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sumCents(col("l_extendedprice")).as("revenue_cents"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("gid"), col("n"), col("revenue_cents"))
+    },
+
+    // Pivot: orders count + exact-cents revenue per priority, one
+    // column pair per order status. The status domain is passed
+    // explicitly (pivot(col, values)) so Spark skips the extra
+    // distinct-values collect job — at 100 TB an implicit pivot scans
+    // the fact table once just to learn the column set. One shuffle on
+    // the row key; pivot cells are conditional aggregates inside the
+    // same HashAggregate.
+    "q12_pivot" -> QueryDef(
+      doc = "pivot on order status: counts + cents revenue per priority",
+      oracle = """
+        |SELECT o_orderpriority,
+        |       count(*) FILTER (o_orderstatus = 'F') AS f_n,
+        |       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                     FILTER (o_orderstatus = 'F'), 0) AS BIGINT) AS f_cents,
+        |       count(*) FILTER (o_orderstatus = 'O') AS o_n,
+        |       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                     FILTER (o_orderstatus = 'O'), 0) AS BIGINT) AS o_cents,
+        |       count(*) FILTER (o_orderstatus = 'P') AS p_n,
+        |       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                     FILTER (o_orderstatus = 'P'), 0) AS BIGINT) AS p_cents
+        |FROM orders GROUP BY 1 ORDER BY 1
+        |""") { (s, d) =>
+      val pivoted = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), sumCents(col("o_totalprice")).as("cents"))
+      // empty pivot cells are NULL in Spark, 0 under DuckDB's FILTER
+      // count — normalize; names follow Spark's {value}_{agg} scheme
+      pivoted.select(col("o_orderpriority") +: Seq("F", "O", "P").flatMap { v =>
+        Seq(coalesce(col(s"${v}_n"), lit(0L)).as(s"${v.toLowerCase}_n"),
+          coalesce(col(s"${v}_cents"), lit(0L)).as(s"${v.toLowerCase}_cents"))
+      }: _*)
+    },
+
+    // CDC merge (upsert/delete-apply): fold a change feed into a keyed
+    // snapshot — the incremental form of the reference's import-replace
+    // publish. Changes dedup to last-writer-wins per key with a
+    // row_number window (rank filter => WindowGroupLimit caps
+    // per-partition state at 1 before the full sort); the apply is ONE
+    // full-outer equi join, so each side shuffles exactly once on the
+    // key and untouched snapshot rows stream through. 'error' events
+    // are deletes, keys beyond the snapshot insert, the rest update.
+    "q13_cdc_merge" -> QueryDef(
+      doc = "CDC merge: last-writer-wins change feed applied to a snapshot",
+      oracle = """
+        |WITH ch AS (
+        |  SELECT user_id + 1400 AS key, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |             ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |), last AS (
+        |  SELECT key, event_type, value_cents FROM ch WHERE rn = 1
+        |), snap AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS snap_cents
+        |  FROM customer
+        |)
+        |SELECT coalesce(c_custkey, key) AS c_custkey,
+        |       CASE WHEN key IS NULL THEN snap_cents
+        |            ELSE value_cents END AS acctbal_cents,
+        |       CASE WHEN key IS NULL THEN 'keep'
+        |            WHEN c_custkey IS NULL THEN 'insert'
+        |            ELSE 'update' END AS op
+        |FROM snap FULL OUTER JOIN last ON c_custkey = key
+        |WHERE key IS NULL OR event_type <> 'error'
+        |ORDER BY 1
+        |""") { (s, d) =>
+      val byKey = Window.partitionBy("user_id")
+        .orderBy(desc("uts"), desc("event_id"))
+      val last = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("uts"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        .withColumn("rn", row_number().over(byKey))
+        .where(col("rn") === 1)
+        .select((col("user_id") + 1400).as("key"),
+          col("event_type"), col("value_cents"))
+      val snap = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("snap_cents"))
+      snap.join(last, col("c_custkey") === col("key"), "full_outer")
+        .where(col("key").isNull || col("event_type") =!= "error")
+        .select(coalesce(col("c_custkey"), col("key")).as("c_custkey"),
+          when(col("key").isNull, col("snap_cents"))
+            .otherwise(col("value_cents")).as("acctbal_cents"),
+          when(col("key").isNull, lit("keep"))
+            .when(col("c_custkey").isNull, lit("insert"))
+            .otherwise(lit("update")).as("op"))
+    },
+
+    // SCD2 history build: turn a change stream into validity intervals
+    // (valid_from, valid_to half-open; MaxValue = current). Both window
+    // functions share ONE (user_id ORDER BY uts, event_id) spec so the
+    // plan is one exchange + one sort; per-key state is the frame.
+    // This is the history-table counterpart of q13's last-state merge.
+    "q14_scd2" -> QueryDef(
+      doc = "SCD2 intervals from a change stream (lead + row_number, one sort)",
+      oracle = """
+        |WITH p AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS uts,
+        |         CAST(round(value * 100) AS BIGINT) AS state_cents
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT user_id, state_cents,
+        |       CAST(row_number() OVER w AS BIGINT) AS version,
+        |       uts AS valid_from_us,
+        |       coalesce(lead(uts) OVER w, 9223372036854775807) AS valid_to_us
+        |FROM p WINDOW w AS (PARTITION BY user_id ORDER BY uts, event_id)
+        |ORDER BY user_id, version
+        |""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("uts", "event_id")
+      Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("uts"),
+          round(col("value") * 100).cast("long").as("state_cents"))
+        .select(col("user_id"), col("state_cents"),
+          row_number().over(w).cast("long").as("version"),
+          col("uts").as("valid_from_us"),
+          coalesce(lead("uts", 1).over(w), lit(Long.MaxValue))
+            .as("valid_to_us"))
+    },
+  )
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the warehouse-maintenance family on sf0.001 (the
+  * DuckDB oracle checks exact values at sf0.01; these pin the algebraic
+  * properties a hash-compare can't express: rollup level arithmetic,
+  * merge case partitioning, interval contiguity). */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q11_rollup: levels are consistent aggregates of each other") {
+    val rows = Warehouse.defs("q11_rollup").fn(spark, sf)
+      .select("rflag", "lstatus", "gid", "n", "revenue_cents")
+      .as[(String, String, Long, Long, Long)].collect()
+    val leaf = rows.filter(_._3 == 0)
+    val perFlag = rows.filter(_._3 == 1)
+    val grand = rows.filter(_._3 == 3)
+    assert(grand.length == 1)
+    assert(grand.head._4 == leaf.map(_._4).sum)
+    assert(grand.head._5 == leaf.map(_._5).sum)
+    perFlag.foreach { case (f, all, _, n, cents) =>
+      assert(all == "ALL")
+      assert(n == leaf.filter(_._1 == f).map(_._4).sum)
+      assert(cents == leaf.filter(_._1 == f).map(_._5).sum)
+    }
+    // rolled-up rows only at the declared levels (ROLLUP, not CUBE)
+    assert(rows.map(_._3).toSet == Set(0L, 1L, 3L))
+  }
+
+  test("q12_pivot: cells partition the orders table") {
+    val df = Warehouse.defs("q12_pivot").fn(spark, sf)
+    val total = df.select((col("f_n") + col("o_n") + col("p_n")).as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(total == graft.Tables.orders(spark, sf).count())
+  }
+
+  test("q13_cdc_merge: op cases partition keys; deletes drop; LWW wins") {
+    val merged = Warehouse.defs("q13_cdc_merge").fn(spark, sf)
+      .select("c_custkey", "acctbal_cents", "op")
+      .as[(Long, Long, String)].collect()
+    assert(merged.map(_._1).distinct.length == merged.length) // keyed result
+
+    val custKeys = graft.Tables.customer(spark, sf)
+      .select("c_custkey").as[Long].collect().toSet
+    // brute-force last-writer-wins change feed
+    val lastByUser = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("uts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, String, Long, Long)].collect()
+      .groupBy(_._1).map { case (u, evs) =>
+        val last = evs.maxBy(e => (e._4, e._2))
+        (u + 1400, last._3, last._5)
+      }
+    val byOp = merged.groupBy(_._3)
+    byOp.getOrElse("keep", Array.empty).foreach { case (k, _, _) =>
+      assert(custKeys.contains(k) && !lastByUser.exists(_._1 == k))
+    }
+    byOp.getOrElse("update", Array.empty).foreach { case (k, cents, _) =>
+      val ch = lastByUser.find(_._1 == k).get
+      assert(custKeys.contains(k) && ch._2 != "error" && cents == ch._3)
+    }
+    byOp.getOrElse("insert", Array.empty).foreach { case (k, cents, _) =>
+      val ch = lastByUser.find(_._1 == k).get
+      assert(!custKeys.contains(k) && ch._2 != "error" && cents == ch._3)
+    }
+    // deleted = matched keys whose last change is 'error'; absent from result
+    lastByUser.filter(_._2 == "error").foreach { case (k, _, _) =>
+      assert(!merged.exists(_._1 == k))
+    }
+    // completeness: every key is accounted for exactly once
+    val expectedKeys = custKeys.filterNot(k =>
+      lastByUser.exists(c => c._1 == k && c._2 == "error")) ++
+      lastByUser.filter(c => !custKeys.contains(c._1) && c._2 != "error").map(_._1)
+    assert(merged.map(_._1).toSet == expectedKeys)
+  }
+
+  test("q14_scd2: versions dense, intervals contiguous, last open-ended") {
+    val rows = Warehouse.defs("q14_scd2").fn(spark, sf)
+      .select("user_id", "version", "valid_from_us", "valid_to_us")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, hist0) =>
+      val hist = hist0.sortBy(_._2)
+      assert(hist.map(_._2).toSeq == (1L to hist.length).toSeq)
+      hist.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3) // half-open contiguity
+        case _ =>
+      }
+      assert(hist.last._4 == Long.MaxValue)
+      hist.init.foreach(h => assert(h._3 < h._4))
+    }
+  }
+}
