@@ -230,6 +230,61 @@ object Streams {
       }
   }
 
+  /** Watermarked stream-stream interval join: each click joined to the
+    * same user's view events within the trailing `horizonSecs` window —
+    * the streaming face of the batch as-of/range join surface
+    * ([[graft.ops.AsOf]], q7/q8). The time-bound join condition is what
+    * makes this run with BOUNDED state: Spark derives each side's
+    * state-eviction horizon from the watermark + the interval, so a
+    * view row is dropped once no future click can reach back to it.
+    * An equality-only stream-stream join would keep both sides
+    * forever. State is keyed (user, time-range) — scale = active users
+    * within the horizon, independent of stream length. */
+  def clickViewJoinStream(clicks: DataFrame, views: DataFrame,
+      horizonSecs: Long = 3600, watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("vts"))
+      .withWatermark("vts", watermark)
+    c.join(v,
+        col("user_id") === col("view_user") &&
+          col("vts") <= col("cts") &&
+          col("vts") >= col("cts") - expr(s"INTERVAL $horizonSecs SECONDS"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        unix_micros(col("cts")).as("click_us"),
+        unix_micros(col("vts")).as("view_us"))
+  }
+
+  final case class Change(key: Long, changeId: Long, ts: java.sql.Timestamp,
+      value: Double)
+  final case class Latest(key: Long, uts: Long, changeId: Long, value: Double)
+
+  /** Streaming last-writer-wins upsert state: maintains the CURRENT row
+    * per key as changes arrive — the streaming face of the batch CDC
+    * merge (q13_cdc_merge's change-dedup leg). Ordering rule is
+    * (event time, changeId) exactly like the batch window sort, so a
+    * replay of the same rows converges to the same state regardless of
+    * arrival order or micro-batch boundaries. Emits the winning row per
+    * key per micro-batch (Update mode); state is ONE row per key —
+    * O(live keys), never O(changes). Downstream, foreachBatch can apply
+    * each emission to a keyed snapshot with the q13 merge shape. */
+  def latestStateStream(changes: Dataset[Change]): Dataset[Latest] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .mapGroupsWithState[Latest, Latest](GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val incoming = it.map(c => Latest(key, c.ts.getTime * 1000 +
+            (c.ts.getNanos / 1000) % 1000, c.changeId, c.value))
+          val best = (state.getOption.iterator ++ incoming)
+            .maxBy(l => (l.uts, l.changeId))
+          state.update(best)
+          best
+      }
+  }
+
   /** Drain a feed-drop directory once (AvailableNow) into a parquet
     * target — the streaming flavor of the S2→S3→K1 path. Returns after
     * the drain completes. */

@@ -191,4 +191,88 @@ class StreamBatchEquivSpec extends SparkSpec {
     assert(flagged == (0L until 10L).toSet, s"flagged: $flagged")
     assert(batch.count(_._4 == 0L) == 30)
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d")
+    // (event_id, user_id, type, t-sec): per-user mixes of in-horizon
+    // (≤60 s back), out-of-horizon, future-view, and cross-user rows
+    val evs = Seq(
+      (1L, 1L, "view", 0), (2L, 1L, "view", 50), (3L, 1L, "click", 55),
+      (4L, 1L, "click", 130), (5L, 1L, "view", 200),
+      (6L, 2L, "view", 10), (7L, 2L, "click", 10), (8L, 2L, "click", 300),
+      (9L, 3L, "click", 40))
+    val dir = Files.createTempDirectory("equiv_ss")
+    evs.map { case (id, u, ty, t) => (id, u, ty, ts(t)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(dir.toString)
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(evSchema).parquet(dir.toString)
+    runAvailableNow(Streams.clickViewJoinStream(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "view"), horizonSecs = 60),
+      "equiv_ssjoin")
+    val streamed = spark.table("equiv_ssjoin")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (cid, cu, cty, ct) <- evs if cty == "click"
+      (vid, vu, vty, vt) <- evs if vty == "view"
+      if cu == vu && vt <= ct && vt >= ct - 60
+    } yield (cid, vid)).toSet
+    assert(streamed == want,
+      s"stream-only: ${streamed -- want}\nmissing: ${want -- streamed}")
+    assert(want == Set((3L, 1L), (3L, 2L), (7L, 6L))) // fixture sanity
+  }
+
+  test("latest-state stream converges to the batch LWW dedup, any arrival order") {
+    import spark.implicits._
+    // out-of-order arrivals: later files carry EARLIER event times, and
+    // one exact-ts tie is resolved by changeId (the batch sort rule)
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 11:00:$sec%02d")
+    val changes = Seq( // (key, changeId, t-sec, value) in ARRIVAL order
+      (1L, 10L, 30, 1.0), (2L, 11L, 5, 2.0), (1L, 12L, 10, 3.0),
+      (2L, 13L, 40, 4.0), (1L, 14L, 30, 5.0), (3L, 15L, 1, 6.0))
+    val dir = Files.createTempDirectory("equiv_lww")
+    changes.zipWithIndex.foreach { case ((k, cid, t, v), i) =>
+      val one = Files.createTempDirectory("equiv_lww_one")
+      Seq((k, cid, ts(t), v)).toDF("key", "changeId", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(one.toString)
+      val part = Files.list(one).iterator()
+      var src: Path = null
+      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) src = p }
+      val dst = dir.resolve(f"ch-$i%05d.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 2000L))
+    }
+    val chSchema = StructType(Seq(
+      StructField("key", LongType), StructField("changeId", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(chSchema)
+      .option("maxFilesPerTrigger", "1") // replay arrival order
+      .parquet(dir.toString).as[Streams.Change]
+    val q = Streams.latestStateStream(stream).writeStream
+      .format("memory").queryName("equiv_lww").outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_lww").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // every emission is the running best per key ⇒ final state = max
+    val finalState = spark.table("equiv_lww")
+      .select("key", "uts", "changeId", "value")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(r => (r._2, r._3)) }
+    val batchLww = changes.groupBy(_._1).map { case (k, cs) =>
+      k -> cs.maxBy(c => (ts(c._3).getTime, c._2))
+    }
+    assert(finalState.keySet == batchLww.keySet)
+    batchLww.foreach { case (k, (_, cid, _, v)) =>
+      assert(finalState(k)._3 == cid && finalState(k)._4 == v,
+        s"key $k: stream ${finalState(k)}, batch winner ($cid, $v)")
+    }
+    // the tie (key 1, t=30) resolved toward the higher changeId
+    assert(finalState(1L)._3 == 14L)
+  }
 }
