@@ -134,6 +134,86 @@ object Warehouse {
             .otherwise(lit("update")).as("op"))
     },
 
+    // Incremental aggregate maintenance (materialized-view refresh):
+    // the result is computed as base-aggregate ⊕ delta-aggregate — the
+    // algebraic merge every mergeable aggregate (count/sum/min/max)
+    // supports — while the ORACLE aggregates the union directly, so a
+    // green row PROVES the incremental path equals full recompute. At
+    // 100 TB the base agg is a stored MV keyed like the delta: only
+    // the delta shuffles (delta-sized exchange + one merge join
+    // against the MV), never the base fact table. Average/stddev
+    // merge the same way via (count, sum, sum-of-squares) carriers.
+    "q15_incremental_agg" -> QueryDef(
+      doc = "MV refresh: base agg ⊕ delta agg == direct agg (algebraic merge)",
+      oracle = """
+        |SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
+        |       strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+        |       strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+        |FROM orders GROUP BY 1 ORDER BY 1
+        |""") { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderdate").cast("date").as("od"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      def agg(part: org.apache.spark.sql.DataFrame, tag: String) =
+        part.groupBy("o_custkey").agg(
+          count(lit(1)).as(s"n_$tag"), sum("c").as(s"c_$tag"),
+          min("od").as(s"f_$tag"), max("od").as(s"l_$tag"))
+      val base = agg(o.where(col("od") < lit("1999-01-01")), "b")
+      val delta = agg(o.where(col("od") >= lit("1999-01-01")), "d")
+      base.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L)))
+            .as("cents"),
+          // least/greatest skip NULLs, exactly the merge min/max needs
+          date_format(least(col("f_b"), col("f_d")), "yyyy-MM-dd")
+            .as("first_date"),
+          date_format(greatest(col("l_b"), col("l_d")), "yyyy-MM-dd")
+            .as("last_date"))
+    },
+
+    // Ranking-window suite: row_number / ntile / percent_rank /
+    // cume_dist / lag over ONE shared window spec — one exchange on the
+    // segment key, one sort, five functions evaluated in a single
+    // Window operator pass. The ordering includes the unique key:
+    // ntile assigns by row POSITION, so a ties-allowed ordering would
+    // let each engine deal tied rows to different buckets.
+    // percent_rank/cume_dist are rank-based rational divisions — the
+    // same integer operands divide to bit-identical doubles in both
+    // engines.
+    "q16_window_suite" -> QueryDef(
+      doc = "ranking windows: ntile/percent_rank/cume_dist/lag, one sort",
+      oracle = """
+        |SELECT c_custkey, c_mktsegment AS seg,
+        |       CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |       CAST(row_number() OVER w AS BIGINT) AS pos,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       CAST(round(c_acctbal * 100) AS BIGINT)
+        |         - lag(CAST(round(c_acctbal * 100) AS BIGINT), 1, 0) OVER w
+        |         AS step_cents
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey)
+        |ORDER BY seg, pos
+        |""") { (s, d) =>
+      val cents = round(col("c_acctbal") * 100).cast("long")
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(cents.asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          cents.as("cents"),
+          row_number().over(w).cast("long").as("pos"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          (cents - lag(cents, 1, 0).over(w)).as("step_cents"))
+    },
+
     // SCD2 history build: turn a change stream into validity intervals
     // (valid_from, valid_to half-open; MaxValue = current). Both window
     // functions share ONE (user_id ORDER BY uts, event_id) spec so the
