@@ -1132,8 +1132,12 @@ object LlmOps {
         i => conv(substring(
           sha2(array_join(slice(words, i + 1, lit(8)), " "), 256), 1, 15),
           16, 10).cast("long")))
-      val g = Tables.documents(s, d)
-        .where(size(words) >= 8)
+      // doc-level fanout BEFORE the gram lambda: the sf files are a
+      // single split, so without it the whole hash pipeline runs in
+      // one task (identity at production partition counts)
+      val g = fanout(Tables.documents(s, d)
+          .where(size(words) >= 8)
+          .select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), explode(grams).as("gh"))
         .repartition(col("gh"))
       // g is distinct per (doc_id, gh), so doc-frequency = count(*)
