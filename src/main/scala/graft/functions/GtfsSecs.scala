@@ -111,5 +111,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_sq"),
       new ExpressionInfo(classOf[L2SqExpr].getName, "l2_sq"),
       arity("l2_sq", 2)(c => L2SqExpr(c.head, c(1)))))
+    // logical rewrite: inequality range joins -> bucketized equi joins
+    // (opt-in via spark.graft.rangeJoin.bucketWidth; see the rule's doc)
+    ext.injectOptimizerRule(session =>
+      graft.plans.RangeJoinRewrite(session))
   }
 }
