@@ -180,5 +180,69 @@ object Events {
           min("sec").as("start_sec"),
           (max("sec") - min("sec")).as("dur_sec"))
     },
+
+    // Funnel analysis (view → click → purchase, strictly ordered): the
+    // sequential-conversion query behind every product dashboard. Each
+    // stage is "earliest qualifying event strictly after the previous
+    // stage", computed as a conditional-min aggregation chained through
+    // an equi join back to the event stream — every agg and every join
+    // keys on user_id, so the whole funnel is ONE partitioning: the
+    // first exchange establishes it and AQE reuses/aligns the rest. No
+    // per-user event list is ever collected (contrast a
+    // sort_array(collect_list) scan: per-key state bounded only by
+    // user activity); stage state is one timestamp per user per stage.
+    // Missing stages surface as -1 (engine-neutral; NULL ordering
+    // differs across engines in the compare).
+    "q17_funnel" -> QueryDef(
+      doc = "3-stage strict-order funnel, 24h conversion windows, chained min-aggs",
+      oracle = """
+        |WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS uts FROM events
+        |), s1 AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN uts END) AS t1
+        |  FROM e GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(uts) AS t2
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click'
+        |    AND uts > t1 AND uts <= t1 + 86400000000 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(uts) AS t3
+        |  FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |    AND uts > t2 AND uts <= t2 + 86400000000 GROUP BY 1
+        |)
+        |SELECT s1.user_id,
+        |       coalesce(t1, -1) AS view_us,
+        |       coalesce(t2, -1) AS click_us,
+        |       coalesce(t3, -1) AS purchase_us,
+        |       CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY 1
+        |""") { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("uts"))
+      val s1 = e.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("uts"))).as("t1"))
+      val dayUs = 86400000000L // 24 h conversion window per stage
+      val s2 = e.join(s1, Seq("user_id"))
+        .where(col("event_type") === "click" &&
+          col("uts") > col("t1") && col("uts") <= col("t1") + dayUs)
+        .groupBy("user_id").agg(min("uts").as("t2"))
+      val s3 = e.join(s2, Seq("user_id"))
+        .where(col("event_type") === "purchase" &&
+          col("uts") > col("t2") && col("uts") <= col("t2") + dayUs)
+        .groupBy("user_id").agg(min("uts").as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("t1"), lit(-1L)).as("view_us"),
+          coalesce(col("t2"), lit(-1L)).as("click_us"),
+          coalesce(col("t3"), lit(-1L)).as("purchase_us"),
+          when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"))
+    },
   )
 }

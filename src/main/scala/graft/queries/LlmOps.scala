@@ -787,6 +787,45 @@ object LlmOps {
           .cast("long").as("p90_tokens"))
     },
 
+    // Sketch-based corpus stats: the UNBOUNDED-domain counterpart of
+    // llm_length_percentiles. The exact histogram method needs the
+    // (group, value) domain to aggregate small; distinct TOKENS per
+    // language has no such bound at 100 TB, so the scale path is
+    // mergeable sketches — HyperLogLog++ for cardinality,
+    // QuantileSummaries for quantiles — which combine as map-side
+    // partial aggregates (sketch bytes per partition, never value
+    // sets) and merge associatively across any partitioning. Sketch
+    // estimates are estimator-defined, not SQL-semantics-defined, so
+    // there is NO DuckDB oracle (its approx functions implement
+    // different estimators); ApproxStatsSpec instead proves the
+    // documented error bounds against the exact answers and that the
+    // estimate is invariant under repartitioning (merge determinism).
+    "llm_approx_stats" -> QueryDef.noOracle(
+      doc = "HLL++ distinct tokens + approx length quantiles per lang") {
+      (s, d) =>
+      val docs0 = Tables.documents(s, d)
+      // token-level HLL from the exploded stream (doc_id HLL alongside
+      // demonstrates the estimator under heavy per-key duplication);
+      // quantiles from DOC-level rows so they estimate the same
+      // statistic as llm_length_percentiles' exact answer
+      val tokenCards = fanout(docs0
+          .select(col("lang"), col("doc_id"),
+            explode(split(col("text"), " ")).as("token")), col("doc_id"))
+        .groupBy("lang").agg(
+          approx_count_distinct(col("token"), rsd = 0.02)
+            .as("distinct_tokens"),
+          approx_count_distinct(col("doc_id"), rsd = 0.02).as("n_docs_est"))
+      val lengthQs = docs0
+        .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
+        .groupBy("lang").agg(
+          percentile_approx(col("n_tok"), lit(0.5), lit(10000))
+            .as("p50_tokens_est"),
+          percentile_approx(col("n_tok"), lit(0.9), lit(10000))
+            .as("p90_tokens_est"))
+      // both sides are |languages| rows — the join is trivially local
+      tokenCards.join(lengthQs, Seq("lang"))
+    },
+
     // Document fingerprinting: bottom-3 sketch of shingle hashes
     // (winnowing-style). One aggregation: slice(array_sort(collect_set))
     // — the per-doc set is bounded by the doc's shingle count, and the

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** llm_approx_stats has no DuckDB oracle by design (sketch estimates
+  * are estimator-defined; DuckDB's approx functions implement different
+  * estimators). This spec supplies the correctness evidence instead:
+  *  - HLL++ cardinalities within a bound tied to the configured rsd;
+  *  - approx quantiles within the rank-error guarantee
+  *    (percentile_approx with accuracy A: rank error <= n/A);
+  *  - estimates INVARIANT under repartitioning — the property that
+  *    makes sketches the 100 TB path (partial sketches merge
+  *    associatively, so the answer cannot depend on the partitioning).
+  */
+class ApproxStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def approx() = LlmOps.defs("llm_approx_stats").fn(spark, sf)
+    .select("lang", "distinct_tokens", "n_docs_est",
+      "p50_tokens_est", "p90_tokens_est")
+    .as[(String, Long, Long, Long, Long)].collect()
+    .map(r => r._1 -> r).toMap
+
+  test("HLL++ cardinalities land within the rsd-derived bound") {
+    val exact = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang")
+      .agg(countDistinct("token").as("t"), countDistinct("doc_id").as("d"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val est = approx()
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (lang, (_, t, d)) =>
+      // rsd = 0.02 is a standard deviation; 5 sigma never fires falsely
+      assert(math.abs(est(lang)._2 - t) <= math.max(1, (t * 0.10).toLong),
+        s"$lang distinct tokens: est ${est(lang)._2} exact $t")
+      assert(math.abs(est(lang)._3 - d) <= math.max(1, (d * 0.10).toLong),
+        s"$lang distinct docs: est ${est(lang)._3} exact $d")
+    }
+  }
+
+  test("approx quantiles respect the rank-error guarantee vs exact") {
+    val lens = graft.Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).as("n"))
+      .as[(String, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val est = approx()
+    lens.foreach { case (lang, sorted) =>
+      val n = sorted.length
+      val slack = math.max(1, n / 1000) // accuracy=10000 ⇒ ≤ n/10000 ranks
+      def rankRange(p: Double, v: Long): Unit = {
+        val target = math.ceil(p * n).toInt
+        val lo = sorted(math.max(0, target - 1 - slack))
+        val hi = sorted(math.min(n - 1, target - 1 + slack))
+        assert(v >= lo && v <= hi,
+          s"$lang p$p: est $v outside rank-slack window [$lo, $hi]")
+      }
+      rankRange(0.5, est(lang)._4)
+      rankRange(0.9, est(lang)._5)
+    }
+  }
+
+  test("estimates are invariant under repartitioning (sketch merge determinism)") {
+    val once = approx()
+    val docs = graft.Tables.documents(spark, sf)
+    Seq(1, 13).foreach { parts =>
+      val shuffled = docs.repartition(parts, col("doc_id"))
+      val est = LlmOps.defs("llm_approx_stats")
+        .fn(spark, sf) // plan identical; sanity anchor
+      val reshaped = {
+        val tokenCards = shuffled
+          .select(col("lang"), col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+          .groupBy("lang").agg(
+            approx_count_distinct(col("token"), rsd = 0.02)
+              .as("distinct_tokens"),
+            approx_count_distinct(col("doc_id"), rsd = 0.02).as("n_docs_est"))
+        val lengthQs = shuffled
+          .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
+          .groupBy("lang").agg(
+            percentile_approx(col("n_tok"), lit(0.5), lit(10000))
+              .as("p50_tokens_est"),
+            percentile_approx(col("n_tok"), lit(0.9), lit(10000))
+              .as("p90_tokens_est"))
+        tokenCards.join(lengthQs, Seq("lang"))
+      }.select("lang", "distinct_tokens", "n_docs_est",
+          "p50_tokens_est", "p90_tokens_est")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(reshaped == once, s"parts=$parts differs from base run")
+      assert(est.count() == once.size.toLong)
+    }
+  }
+}
