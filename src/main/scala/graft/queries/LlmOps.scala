@@ -832,7 +832,7 @@ object LlmOps {
     // single groupBy replaces the round-2 distinct + window + groupBy
     // chain (3 shuffles → 1). At fact scale the exact-set state per doc
     // is still bounded by document length; a true streaming bottom-k
-    // sketch would cap it harder, at the cost of a custom Aggregator.
+    // sketch caps it harder: ops.BottomK.bottomKDistinct (see the agg below).
     "llm_fingerprint" -> QueryDef(
       doc = "bottom-k shingle-hash document fingerprint",
       oracle = s"""
@@ -857,6 +857,13 @@ object LlmOps {
         .where(size(col("toks")) >= 3)
       // shingle-level fanout parallelizes the sha256 (single-split scan
       // otherwise hashes on one task); the groupBy's exchange follows
+      // collect_set keeps per-doc state = the doc's distinct shingle
+      // set — BOUNDED here because document length is bounded by the
+      // pipeline's own chunking stage. For unbounded groups use
+      // ops.BottomK.bottomKDistinct (k-bounded buffer through reduce
+      // AND merge); measured trade-off at sf0.1: the typed-udaf serde
+      // costs ~0.5 s (steady 0.67 → 1.1 s), so the builtin wins while
+      // the state bound doesn't bind (BottomKSpec proves equivalence)
       fanout(docs
         .select(col("doc_id"), explode(shingles(col("toks"))).as("sh")),
         col("doc_id"), col("sh"))
