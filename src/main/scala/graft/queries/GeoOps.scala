@@ -222,5 +222,63 @@ object GeoOps {
         }
         .toDF("shape_id", "n_before", "n_after")
     },
+
+    // 2D spatial self-join (distance-within join): the join form of
+    // L3's grid index. Points carry an integer DECIDEGREE grid cell
+    // (cell = coord div 5, cell size >= the search radius); one side
+    // explodes over its 3x3 neighbor cells, the other keeps its home
+    // cell, so the pairing is an EQUI join on the cell key — each
+    // candidate pair arises exactly once (b's home cell appears at
+    // most once in a's neighborhood), no dedup pass. Exact predicate
+    // dlat^2 + dlon^2 < 25 in pure integer arithmetic (engine-exact,
+    // unlike trig haversine — GeoSpec covers that variant). At scale:
+    // shuffle keys are cells (bounded fan-out of 9), skewed cells are
+    // ordinary AQE skew-join work, never a cross product. The oracle
+    // is a BRUTE-FORCE pair scan — independent of the grid algorithm.
+    "q18_geo_pairs" -> QueryDef(
+      doc = "distance-within self-join via 3x3 neighbor-cell equi join",
+      oracle = """
+        |WITH stops AS (
+        |  SELECT c_custkey AS id,
+        |         CAST(c_custkey % 1800 AS BIGINT) - 900 AS lat_d,
+        |         CAST(c_custkey % 3600 AS BIGINT) - 1800 AS lon_d
+        |  FROM customer
+        |  WHERE CAST(c_custkey % 1800 AS BIGINT) - 900 BETWEEN -250 AND 250
+        |)
+        |SELECT a.id AS stop_id, count(*) AS n_neighbors,
+        |       min((a.lat_d - b.lat_d) * (a.lat_d - b.lat_d)
+        |         + (a.lon_d - b.lon_d) * (a.lon_d - b.lon_d)) AS min_d2
+        |FROM stops a JOIN stops b
+        |  ON a.id <> b.id
+        | AND (a.lat_d - b.lat_d) * (a.lat_d - b.lat_d)
+        |   + (a.lon_d - b.lon_d) * (a.lon_d - b.lon_d) < 25
+        |GROUP BY 1 ORDER BY 1
+        |""") { (s, d) =>
+      def stops = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"),
+          ((col("c_custkey") % 1800).cast("long") - 900).as("lat_d"),
+          ((col("c_custkey") % 3600).cast("long") - 1800).as("lon_d"))
+        .where(col("lat_d").between(-250, 250))
+      // floor-div cells: pmod-correct for negatives via the (x - (x %
+      // 5 + 5) % 5) / 5 identity is unnecessary — Spark's `div` and
+      // the neighbor explode only need CONSISTENT cells, and both
+      // sides use the same expression; +/-1 covers truncation edges
+      val a = stops
+        .withColumn("dci", explode(sequence(lit(-1), lit(1))))
+        .withColumn("dcj", explode(sequence(lit(-1), lit(1))))
+        .select(col("id").as("a_id"), col("lat_d").as("a_lat"),
+          col("lon_d").as("a_lon"),
+          (expr("lat_d div 5") + col("dci")).as("ci"),
+          (expr("lon_d div 5") + col("dcj")).as("cj"))
+      val b = stops.select(col("id").as("b_id"), col("lat_d").as("b_lat"),
+        col("lon_d").as("b_lon"),
+        expr("lat_d div 5").as("ci"), expr("lon_d div 5").as("cj"))
+      val d2 = (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat")) +
+        (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon"))
+      a.join(b, Seq("ci", "cj"))
+        .where(col("a_id") =!= col("b_id") && d2 < 25)
+        .groupBy(col("a_id").as("stop_id"))
+        .agg(count(lit(1)).as("n_neighbors"), min(d2).as("min_d2"))
+    },
   )
 }
