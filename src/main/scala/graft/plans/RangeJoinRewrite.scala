@@ -114,7 +114,9 @@ case class RangeJoinRewrite(session: SparkSession)
     IntegralDivide(Cast(e, LongType), Literal(w))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = session.conf.get(WidthKey, "0").toLong
+    val raw = session.conf.get(WidthKey, "0")
+    val w = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"$WidthKey must be a long (0 disables the rewrite), got '$raw'"))
     if (w <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
