@@ -214,6 +214,41 @@ object Warehouse {
           (cents - lag(cents, 1, 0).over(w)).as("step_cents"))
     },
 
+    // Relational set operations: INTERSECT / EXCEPT / UNION with
+    // DISTINCT semantics — Catalyst plans them as left-semi / left-anti
+    // joins and a dedup aggregate over the union, so they shuffle on
+    // the compared columns like any keyed join (no special-cased
+    // operator to outgrow at scale). Year cohorts of ordering
+    // customers; one row per set operation keeps the oracle readable.
+    "q19_set_ops" -> QueryDef(
+      doc = "INTERSECT/EXCEPT/UNION cohorts (semi/anti join + dedup plans)",
+      oracle = """
+        |WITH y98 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE strftime(o_orderdate, '%Y') = '1998'
+        |), y99 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE strftime(o_orderdate, '%Y') = '1999'
+        |)
+        |SELECT 'both' AS tag,
+        |       (SELECT count(*) FROM (SELECT * FROM y98 INTERSECT SELECT * FROM y99)) AS n
+        |UNION ALL SELECT '98_only',
+        |       (SELECT count(*) FROM (SELECT * FROM y98 EXCEPT SELECT * FROM y99))
+        |UNION ALL SELECT 'either',
+        |       (SELECT count(*) FROM (SELECT * FROM y98 UNION SELECT * FROM y99))
+        |ORDER BY tag
+        |""") { (s, d) =>
+      def cohort(year: String) = Tables.orders(s, d)
+        .where(date_format(col("o_orderdate").cast("date"), "yyyy") === year)
+        .select("o_custkey").distinct()
+      val (y98, y99) = (cohort("1998"), cohort("1999"))
+      def tagged(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(tag).as("tag"), col("n"))
+      tagged("both", y98.intersect(y99))
+        .unionAll(tagged("98_only", y98.except(y99)))
+        .unionAll(tagged("either", y98.union(y99).distinct()))
+    },
+
     // SCD2 history build: turn a change stream into validity intervals
     // (valid_from, valid_to half-open; MaxValue = current). Both window
     // functions share ONE (user_id ORDER BY uts, event_id) spec so the
