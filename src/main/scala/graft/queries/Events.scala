@@ -244,5 +244,43 @@ object Events {
           when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
             .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"))
     },
+
+    // Weekly retention cohort matrix: users grouped by their first
+    // purchase week, counted in each later week they purchased again —
+    // the classic product-analytics triangle. Shape: ONE corpus-scale
+    // aggregation (distinct (user, week), keyed shuffle with map-side
+    // combine), then a window keyed on user_id over the already
+    // per-user-week frame (weeks-per-user rows, bounded by calendar ≪
+    // events-per-user), then a final aggregation over the tiny
+    // (cohort, offset) space. Both engines truncate weeks to the ISO
+    // Monday, so cohort labels agree; offsets are integer day
+    // arithmetic — no float at the bucket boundary.
+    "q20_retention_cohorts" -> QueryDef(
+      doc = "weekly purchase retention cohorts (first-week x offset)",
+      oracle = """
+        |WITH uw AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), c AS (
+        |  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort
+        |  FROM uw
+        |)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |       CAST((wk - cohort) // 7 AS BIGINT) AS offset_wk,
+        |       count(*) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2
+        |""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val uw = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .agg(count(lit(1)).as("n_ev"))
+      val c = uw.withColumn("cohort",
+        min("wk").over(Window.partitionBy("user_id")))
+      c.groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          expr("datediff(wk, cohort) div 7").as("offset_wk"))
+        .agg(count(lit(1)).as("n_users"))
+    },
   )
 }

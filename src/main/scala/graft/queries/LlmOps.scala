@@ -256,6 +256,17 @@ object LlmOps {
     s"CASE WHEN sum(CASE WHEN substr(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
   }.mkString(" || ")
 
+  // 60-bit integer SimHash (llm_simhash_pairs): one ±1 vote sum per bit
+  // of the 60-bit token hash, recombined into a positive BIGINT.
+  private val simhash60Sql: String = (0 until 60).map { j =>
+    s"CASE WHEN sum(((hv >> $j) & 1)*2 - 1) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+  }.mkString(" + ")
+
+  // 4 bands × 15 bits over `sig` for the banded Hamming join.
+  private val simhash60BandsSql: String = (0 until 4).map { b =>
+    s"SELECT doc_id, si, $b AS band, (si >> ${15 * b}) & 32767 AS chunk FROM sig"
+  }.mkString(" UNION ALL ")
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact dedup: hash-groupBy on full text (the cheap first pass every
@@ -1489,6 +1500,150 @@ object LlmOps {
           col("byteLen").cast("long").as("byte_len"),
           lower(hex(expr("substring(bytes, length(bytes) - byteLen + 1)")))
             .as("payload_hex"))
+    },
+
+    // SimHash Hamming-distance near-dup JOIN (the 16-bit `llm_simhash`
+    // computes signatures only). Manku/Jain/Sarma's web-crawl design
+    // (WWW'07): a 60-bit fingerprint split into 4 bands of 15 bits —
+    // any pair within Hamming distance ≤3 agrees exactly on ≥1 band
+    // (pigeonhole), so candidate generation is an equi-join on
+    // (band, chunk), never all-pairs. 60 bits (not 64) keeps the
+    // fingerprint positive in a signed BIGINT in both engines (same
+    // 15-hex-nibble trick as the portable row hash). Scale: the join
+    // key has 4·2^15 values at 15-bit bands — band width is the knob
+    // (wider bands → more buckets → fewer collisions); the sha2 +
+    // 60 bit-votes evaluate once in the partial aggregation below the
+    // groupBy(doc_id) exchange, and both self-join sides reuse that
+    // one exchange (same shape as llm_minhash_lsh — see corpus() for
+    // why NO fanout: a doc_id pre-partition would eliminate the
+    // reusable exchange and run the signature pipeline twice).
+    "llm_simhash_pairs" -> QueryDef(
+      doc = "60-bit SimHash + 4x15-bit banded Hamming join (d<=3 pairs)",
+      oracle = s"""
+        |WITH toks AS (
+        |  SELECT doc_id, CAST('0x' || substr(sha256(t), 1, 15) AS BIGINT) AS hv
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM ($corpusSql))
+        |), sig AS (
+        |  SELECT doc_id, $simhash60Sql AS si FROM toks GROUP BY doc_id
+        |), bands AS (
+        |  $simhash60BandsSql
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.si, b.si)) AS BIGINT) AS hamming
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.si, b.si)) <= 3
+        |ORDER BY doc_a, doc_b
+        |""") { (s, d) =>
+      val toks = corpus(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"),
+          conv(substring(sha2(col("t"), 256), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+      // one aggregate expression per bit; sha2/conv shared across all 60
+      // by subexpression elimination in the partial aggregate
+      val siTerms = (0 until 60).map { j =>
+        when(sum(shiftright(col("hv"), j).bitwiseAND(lit(1L)) * 2 - 1) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }
+      val sig = toks.groupBy("doc_id").agg(siTerms.reduce(_ + _).as("si"))
+      val bands = sig.select(col("doc_id"), col("si"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            shiftright(col("si"), 15 * b).bitwiseAND(lit(32767L))
+              .as("chunk"))): _*)).as("bc"))
+        .select(col("doc_id"), col("si"),
+          col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+      val lhs = bands.select(col("band"), col("chunk"),
+        col("doc_id").as("doc_a"), col("si").as("si_a"))
+      val rhs = bands.select(col("band"), col("chunk"),
+        col("doc_id").as("doc_b"), col("si").as("si_b"))
+      lhs.join(rhs, Seq("band", "chunk"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(si_a ^ si_b)").cast("long").as("hamming"))
+        .where(col("hamming") <= 3)
+        .distinct()
+    },
+
+    // Heaps-law vocabulary growth: new bigram types per ingest bucket of
+    // 50 docs, plus the running total — the curve a tokenizer-training
+    // pipeline watches to decide when vocab has saturated. Scale: the
+    // only corpus-size aggregation is groupBy(gram) → min(doc_id)
+    // (uniform keys, map-side combine); the cumulative window runs over
+    // the BUCKET table (corpus_size / 50 rows — thousands at 100 TB,
+    // never the corpus), so the single-partition window is bounded.
+    "llm_vocab_growth" -> QueryDef(
+      doc = "new + cumulative bigram vocab types per 50-doc ingest bucket",
+      oracle = """
+        |WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |         unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS g
+        |  FROM docs WHERE len(toks) >= 2
+        |), first AS (
+        |  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+        |)
+        |SELECT first_doc // 50 AS bucket, count(*) AS new_types,
+        |       CAST(sum(count(*)) OVER (ORDER BY first_doc // 50) AS BIGINT) AS cum_types
+        |FROM first GROUP BY 1 ORDER BY 1
+        |""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+      val grams = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("g"))
+      val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      val byBucket = first
+        .groupBy(expr("first_doc div 50").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      byBucket.withColumn("cum_types",
+        sum("new_types").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    },
+
+    // Incremental dedup: a new crawl batch (fresh docs + re-crawled
+    // copies of already-ingested pages under new ids) deduped first
+    // WITHIN the batch (min-id canonical) and then anti-joined against
+    // the historical digest index. This is the daily-ingest shape at
+    // 100 TB: the historical side is digest-only (12-byte key you keep
+    // bucketed between runs, NOT the corpus text), the batch side
+    // map-side-combines before its shuffle, and the anti-join hashes on
+    // uniform sha2 digests — no skew, no growth with history beyond the
+    // index itself.
+    "llm_incremental_dedup" -> QueryDef(
+      doc = "new-batch dedup vs historical digest index (anti-join)",
+      oracle = """
+        |WITH corpus AS (
+        |  SELECT doc_id, text, doc_id % 10 < 8 AS hist FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text, false AS hist
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), histd AS (
+        |  SELECT DISTINCT substr(sha256(text), 1, 12) AS text_digest
+        |  FROM corpus WHERE hist
+        |), incb AS (
+        |  SELECT substr(sha256(text), 1, 12) AS text_digest,
+        |         min(doc_id) AS doc_id
+        |  FROM corpus WHERE NOT hist GROUP BY 1
+        |)
+        |SELECT doc_id, text_digest FROM incb
+        |WHERE text_digest NOT IN (SELECT text_digest FROM histd)
+        |ORDER BY doc_id
+        |""") { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val hist = docs.where(col("doc_id") % 10 < 8)
+      val batch = docs.where(col("doc_id") % 10 >= 8)
+        .unionByName(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val histIdx = hist
+        .select(substring(sha2(col("text"), 256), 1, 12).as("text_digest"))
+        .distinct()
+      val batchCanon = batch
+        .groupBy(substring(sha2(col("text"), 256), 1, 12).as("text_digest"))
+        .agg(min("doc_id").as("doc_id"))
+      batchCanon.join(histIdx, Seq("text_digest"), "left_anti")
+        .select("doc_id", "text_digest")
     },
   )
 }
