@@ -1645,5 +1645,86 @@ object LlmOps {
       batchCanon.join(histIdx, Seq("text_digest"), "left_anti")
         .select("doc_id", "text_digest")
     },
+
+    // BPE merge statistics: adjacent character-pair counts weighted by
+    // word frequency — the per-iteration count table a byte-pair-
+    // encoding tokenizer trainer maximizes over. The corpus-scale pass
+    // is ONE groupBy(token) count; the pair explode then runs over the
+    // VOCABULARY (distinct words, Heaps-bounded ≪ corpus) weighted by
+    // the precomputed frequencies — exactly how production BPE trainers
+    // scale (word-freq dict, never the raw corpus, per merge round).
+    // Top-20 by (count DESC, pair ASC) — unique ordering, engine-stable.
+    "llm_bpe_pairs" -> QueryDef(
+      doc = "BPE merge-pair counts over the word-frequency dict (top 20)",
+      oracle = """
+        |WITH words AS (
+        |  SELECT t, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY t
+        |), pairs AS (
+        |  SELECT unnest([t[i:i+1] FOR i IN range(1, len(t))]) AS pair, freq
+        |  FROM words WHERE len(t) >= 2
+        |)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+        |""") { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("freq"))
+        .where(length(col("t")) >= 2)
+      val pairs = words.select(explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+        .as("pair"), col("freq"))
+      pairs.groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
+    // Quality-filter funnel: per-stage survivor counts through the
+    // chained curation filters (length → stopword ratio → lexical
+    // diversity) — the acceptance report every corpus-curation run
+    // publishes. ONE corpus scan computes all stage flags (cumulative
+    // AND chain, integer arithmetic at every threshold so no float
+    // boundary can flip a row between engines), one 1-row aggregation,
+    // then a constant-size unpivot. No shuffle carries document text.
+    "llm_filter_funnel" -> QueryDef(
+      doc = "survival counts through chained quality filters",
+      oracle = """
+        |WITH t AS (
+        |  SELECT len(string_split(text, ' ')) AS n,
+        |         len(list_distinct(string_split(text, ' '))) AS nd,
+        |         len(list_filter(string_split(text, ' '),
+        |                         x -> x IN ('the', 'a'))) AS nstop
+        |  FROM documents
+        |), agg AS (
+        |  SELECT count(*) AS s0,
+        |         CAST(sum(CASE WHEN n >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |         CAST(sum(CASE WHEN n >= 20 AND nstop*10 >= n THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |         CAST(sum(CASE WHEN n >= 20 AND nstop*10 >= n AND nd*2 >= n THEN 1 ELSE 0 END) AS BIGINT) AS s3
+        |  FROM t
+        |)
+        |SELECT 's0_all' AS stage, s0 AS n_docs FROM agg
+        |UNION ALL SELECT 's1_length', s1 FROM agg
+        |UNION ALL SELECT 's2_stopword', s2 FROM agg
+        |UNION ALL SELECT 's3_lexical_diversity', s3 FROM agg
+        |ORDER BY stage
+        |""") { (s, d) =>
+      val t = Tables.documents(s, d).select(
+        size(split(col("text"), " ")).as("n"),
+        size(array_distinct(split(col("text"), " "))).as("nd"),
+        expr("size(filter(split(text, ' '), x -> x = 'the' OR x = 'a'))")
+          .as("nstop"))
+      val f1 = col("n") >= 20
+      val f2 = f1 && col("nstop") * 10 >= col("n")
+      val f3 = f2 && col("nd") * 2 >= col("n")
+      val agg = t.agg(
+        count(lit(1)).as("s0"),
+        sum(when(f1, 1L).otherwise(0L)).as("s1"),
+        sum(when(f2, 1L).otherwise(0L)).as("s2"),
+        sum(when(f3, 1L).otherwise(0L)).as("s3"))
+      agg.selectExpr(
+        "stack(4, 's0_all', s0, 's1_length', s1, " +
+          "'s2_stopword', s2, 's3_lexical_diversity', s3) AS (stage, n_docs)")
+    },
   )
 }
