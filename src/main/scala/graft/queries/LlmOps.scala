@@ -1196,12 +1196,24 @@ object LlmOps {
           .where(size(words) >= 8)
           .select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), explode(grams).as("gh"))
-        .repartition(col("gh"))
-      // g is distinct per (doc_id, gh), so doc-frequency = count(*)
-      val hot = g.groupBy("gh").agg(count(lit(1)).as("nd"))
+      // g is distinct per (doc_id, gh), so doc-frequency = a count
+      // window over gh — computed INLINE on g's one gh shuffle rather
+      // than via a hot-gram self-join: the join formulation ran the
+      // whole gram pipeline (sha256 per 8-gram) TWICE, because the two
+      // repartition(gh) subtrees canonicalize differently (the count
+      // branch prunes doc_id, the join branch keeps it — same
+      // rewrite-divergence class as c8/tfidf; executed-plan audit
+      // showed only the doc_id fanout exchange reused). Window over a
+      // partition-only frame needs no orderBy. Steady at sf0.1 is
+      // UNCHANGED (~2.0 s — the row is dominated by multi-stage AQE
+      // scheduling plus the interpreted gram lambda, not by the
+      // duplicated hashing at this scale); the rewrite is kept for the
+      // 100 TB shape, where hashing every 8-gram twice is real money.
+      // Per-gh window partitions are corpus-bounded only for
+      // boilerplate grams that repeat in most docs — exactly what
+      // llm_boilerplate removes upstream at 100 TB.
+      g.withColumn("nd", count(lit(1)).over(Window.partitionBy("gh")))
         .where(col("nd") >= 2)
-        .select("gh")
-      g.join(hot, Seq("gh"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     },
 
@@ -1725,6 +1737,47 @@ object LlmOps {
       agg.selectExpr(
         "stack(4, 's0_all', s0, 's1_length', s1, " +
           "'s2_stopword', s2, 's3_lexical_diversity', s3) AS (stage, n_docs)")
+    },
+
+    // Training-mixture weighting: per-language token counts vs a target
+    // mixture → integer-ppm sampling weights (upsample factor per
+    // stratum) — the data-mixing step before temperature sampling.
+    // ONE corpus-scale aggregation (token counts per lang, map-side
+    // combine); everything after runs on the LANGUAGE table (bounded by
+    // the language inventory at any corpus size — the unbounded window
+    // is over that bounded frame). All ratio arithmetic is integer ppm:
+    // floor (DuckDB //) and truncation (Spark div) agree on positives,
+    // so no float boundary can split the engines.
+    "llm_mixture_weights" -> QueryDef(
+      doc = "per-language sampling weights toward a target mixture (ppm)",
+      oracle = """
+        |WITH lt AS (
+        |  SELECT lang,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT lang, n_tokens,
+        |         CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
+        |         CAST(CASE WHEN lang = 'en' THEN 400000 ELSE 150000 END AS BIGINT)
+        |           AS target_ppm
+        |  FROM lt
+        |)
+        |SELECT lang, n_tokens, target_ppm,
+        |       n_tokens * 1000000 // tot AS actual_ppm,
+        |       target_ppm * 1000000 // (n_tokens * 1000000 // tot) AS weight_ppm
+        |FROM t ORDER BY lang
+        |""") { (s, d) =>
+      val lt = Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+      val t = lt
+        .withColumn("tot", sum("n_tokens").over(Window.partitionBy()))
+        .withColumn("target_ppm",
+          when(col("lang") === "en", 400000L).otherwise(150000L))
+      t.select(col("lang"), col("n_tokens"), col("target_ppm"),
+        expr("n_tokens * 1000000 div tot").as("actual_ppm"),
+        expr("target_ppm * 1000000 div (n_tokens * 1000000 div tot)")
+          .as("weight_ppm"))
     },
   )
 }
