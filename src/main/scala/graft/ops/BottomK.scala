@@ -46,8 +46,39 @@ case class BottomKDistinct(k: Int)
   def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
 }
 
+/** Bottom-k DISTINCT longs — same bounded-state contract as
+  * [[BottomKDistinct]], but with NUMERIC ordering (routing doc ids
+  * through the string variant would sort lexicographically: "10" before
+  * "2" — wrong for posting lists). Buffer invariant and O(k) state
+  * bounds are identical.
+  */
+case class BottomKDistinctLong(k: Int)
+    extends Aggregator[Long, List[Long], Seq[Long]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  // buffer invariant: sorted ascending, distinct, length <= k
+  def zero: List[Long] = Nil
+
+  private def insert(b: List[Long], a: Long): List[Long] =
+    if (b.length == k && b.last <= a) b // fast path: can't enter
+    else if (b.contains(a)) b
+    else (a :: b).sorted.take(k)
+
+  def reduce(b: List[Long], a: Long): List[Long] = insert(b, a)
+  def merge(x: List[Long], y: List[Long]): List[Long] =
+    y.foldLeft(x)(insert)
+  def finish(b: List[Long]): Seq[Long] = b
+
+  def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
 object BottomK {
   /** Column form: bottom-k distinct strings of `c`, sorted ascending. */
   def bottomKDistinct(c: Column, k: Int): Column =
     udaf(BottomKDistinct(k)).apply(c)
+
+  /** Column form: bottom-k distinct longs of `c`, sorted ascending. */
+  def bottomKDistinctLong(c: Column, k: Int): Column =
+    udaf(BottomKDistinctLong(k), ExpressionEncoder[Long]()).apply(c)
 }

@@ -282,5 +282,65 @@ object Events {
           expr("datediff(wk, cohort) div 7").as("offset_wk"))
         .agg(count(lit(1)).as("n_users"))
     },
+
+    // Time-series gap fill + forward fill: resample each event type to
+    // an hourly grid spanning its own [min, max] hour, left-join the
+    // actual hourly aggregates, and carry the last observed sum across
+    // empty hours (sensor/metric densification). The grid is generated
+    // from the 1-row-per-type span aggregate — sequence() explodes
+    // per TYPE, so grid size is bounded by (types × hours of history),
+    // never by event volume; the forward-fill window partitions on
+    // event_type and is as parallel as the type cardinality. Both
+    // engines sum exact integer cents and run IGNORE NULLS last_value
+    // over the same frame.
+    "q21_gap_fill" -> QueryDef(
+      doc = "hourly resample + forward-fill per event type",
+      oracle = """
+        |WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, value
+        |  FROM events
+        |), agg AS (
+        |  SELECT event_type, hr, count(*) AS n,
+        |         sum(CAST(round(value * 100) AS BIGINT)) AS v_cents
+        |  FROM e GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM agg GROUP BY 1
+        |), grid AS (
+        |  SELECT event_type, h AS hr
+        |  FROM span, unnest(generate_series(h0, h1)) AS t(h)
+        |), j AS (
+        |  SELECT g.event_type, g.hr, a.n, a.v_cents
+        |  FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.hr = a.hr
+        |)
+        |SELECT event_type, hr,
+        |       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+        |       CAST(coalesce(last_value(v_cents IGNORE NULLS) OVER (
+        |         PARTITION BY event_type ORDER BY hr
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+        |         AS v_cents_filled,
+        |       CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+        |FROM j ORDER BY event_type, hr
+        |""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val agg = Tables.events(s, d)
+        // µs div 3.6e9 == ns div 3.6e12 for positive epochs (Tables
+        // .events already floor-truncates the TIMESTAMP(NANOS) to µs)
+        .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"),
+          col("value"))
+        .groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("v_cents"))
+      val grid = agg.groupBy("event_type")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(agg, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(last(col("v_cents"), ignoreNulls = true).over(w), lit(0L))
+            .as("v_cents_filled"),
+          when(col("n").isNull, 1L).otherwise(0L).as("is_gap"))
+    },
   )
 }

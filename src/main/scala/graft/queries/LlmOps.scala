@@ -267,6 +267,28 @@ object LlmOps {
     s"SELECT doc_id, si, $b AS band, (si >> ${15 * b}) & 32767 AS chunk FROM sig"
   }.mkString(" UNION ALL ")
 
+  // PII patterns (llm_pii_redact). Kept to the regex subset where Java
+  // (Spark) and RE2 (DuckDB) agree: character classes, bounded repeats,
+  // ASCII \b — no lookaround, no backrefs.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phonePat = "\\b555-\\d{4}\\b"
+
+  // The synthetic corpus carries no PII, so the redaction oracle would
+  // be vacuous (q6 lesson: an oracle that can't fail proves nothing).
+  // Both engines append the same deterministic doc_id-derived PII before
+  // redacting; every doc then has >=1 match per category and the
+  // redacted-text digest exercises all three replacements.
+  private val piiTextSql =
+    """text || ' contact user' || doc_id || '@example.com from 10.20.' ||
+      |(doc_id % 256) || '.7 call 555-' || ((doc_id % 9000) + 1000) ||
+      |CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END""".stripMargin.replace("\n", " ")
+
+  private def piiText: Column = concat(
+    col("text"), lit(" contact user"), col("doc_id"), lit("@example.com from 10.20."),
+    col("doc_id") % 256, lit(".7 call 555-"), (col("doc_id") % 9000) + 1000,
+    when(col("doc_id") % 3 === 0, lit(" cc admin@example.org")).otherwise(lit("")))
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact dedup: hash-groupBy on full text (the cheap first pass every
@@ -1778,6 +1800,142 @@ object LlmOps {
         expr("n_tokens * 1000000 div tot").as("actual_ppm"),
         expr("target_ppm * 1000000 div (n_tokens * 1000000 div tot)")
           .as("weight_ppm"))
+    },
+
+    // PII redaction (Dolma/RefinedWeb-style pre-training scrub): count
+    // then mask emails, IPv4 addresses and phone-like numbers. Pure
+    // map-only — three codegen'd regexp_replace passes per row, no
+    // shuffle at all (the driver's checker does the ordering), so the
+    // operator scales linearly with input bytes and the regex subset is
+    // pinned to where Java and RE2 agree (see emailPat above). Counts
+    // are taken BEFORE masking; replacement order (email → IP → phone)
+    // matters only in that the placeholders contain no digits.
+    "llm_pii_redact" -> QueryDef(
+      doc = "regex PII scrub: count + mask emails / IPv4s / phones",
+      oracle = s"""
+        |WITH pii AS (
+        |  SELECT doc_id, $piiTextSql AS t FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t, '$emailPat')) AS BIGINT) AS n_email,
+        |       CAST(len(regexp_extract_all(t, '$ipPat')) AS BIGINT) AS n_ip,
+        |       CAST(len(regexp_extract_all(t, '$phonePat')) AS BIGINT) AS n_phone,
+        |       substr(sha256(regexp_replace(regexp_replace(regexp_replace(t,
+        |         '$emailPat', '<EMAIL>', 'g'), '$ipPat', '<IP>', 'g'),
+        |         '$phonePat', '<PHONE>', 'g')), 1, 12) AS red_digest
+        |FROM pii ORDER BY doc_id
+        |""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), piiText.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailPat), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("t"), lit(ipPat), lit(0))).cast("long").as("n_ip"),
+          size(regexp_extract_all(col("t"), lit(phonePat), lit(0))).cast("long").as("n_phone"),
+          substring(sha2(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            lit(emailPat), lit("<EMAIL>")), lit(ipPat), lit("<IP>")),
+            lit(phonePat), lit("<PHONE>")), 256), 1, 12).as("red_digest"))
+    },
+
+    // Line-level dedup (CCNet/RefinedWeb: drop lines shared across
+    // documents — nav bars, cookie banners — then keep the residue).
+    // The corpus has no newlines, so "lines" are aligned 3-token chunks
+    // (the same pseudo-line both engines derive). Shape at scale: line
+    // construction is map-only per doc (slice over the token array — no
+    // token-level explode/shuffle); the duplicate set is a groupBy on
+    // the line string over map-side-deduped (line, doc) pairs; removal
+    // is the standard instance⋈dup-lines hash join keyed on the line;
+    // reconstruction state is per-doc bounded (its own lines). Nothing
+    // collects a corpus-scale group.
+    "llm_line_dedup" -> QueryDef(
+      doc = "cross-doc duplicate line removal + doc reconstruction",
+      oracle = """
+        |WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) > 0
+        |), lines AS (
+        |  SELECT doc_id, j AS li,
+        |         array_to_string(list_slice(toks, j*3 + 1, j*3 + 3), ' ') AS line
+        |  FROM docs, unnest(generate_series(0, (len(toks) + 2) // 3 - 1)) AS t(j)
+        |), dup AS (
+        |  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+        |), marked AS (
+        |  SELECT l.doc_id, l.li, l.line, d.line IS NOT NULL AS is_dup
+        |  FROM lines l LEFT JOIN dup d ON l.line = d.line
+        |)
+        |SELECT doc_id,
+        |       count(*) AS n_lines,
+        |       CAST(count(CASE WHEN NOT is_dup THEN 1 END) AS BIGINT) AS n_kept,
+        |       substr(sha256(coalesce(
+        |         string_agg(CASE WHEN NOT is_dup THEN line END, ' ' ORDER BY li),
+        |         '')), 1, 12) AS kept_digest
+        |FROM marked GROUP BY doc_id ORDER BY doc_id
+        |""") { (s, d) =>
+      val lines = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"), posexplode(expr(
+          // sequence() needs the guard above: with an empty token array
+          // the stop would be -1 and sequence(0, -1) DESCENDS.
+          "transform(sequence(0, (size(toks) + 2) div 3 - 1), " +
+            "j -> array_join(slice(toks, j*3 + 1, 3), ' '))")).as(Seq("li", "line")))
+      val dup = lines.groupBy("line")
+        .agg(countDistinct("doc_id").as("ldf"))
+        .where(col("ldf") >= 2)
+        .select(col("line"), lit(1).as("is_dup"))
+      lines.join(dup, Seq("line"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          count(when(col("is_dup").isNull, 1)).as("n_kept"),
+          substring(sha2(expr(
+            // kept lines back in document order: li is unique per doc,
+            // so the struct sort is total; dropped lines become NULL
+            // fields filtered after extraction (collect_list would skip
+            // top-level NULLs but not struct members).
+            "array_join(filter(transform(array_sort(collect_list(" +
+              "struct(li, CASE WHEN is_dup IS NULL THEN line END AS l))), " +
+              "x -> x.l), x -> x IS NOT NULL), ' ')"), 256), 1, 12)
+            .as("kept_digest"))
+    },
+
+    // Inverted index build: per-token document frequency, term
+    // frequency, and a BOUNDED first-5 posting list. The posting list is
+    // the scale trap: slice(array_sort(collect_set(doc_id)), 1, 5) holds
+    // every stopword's FULL doc set in the aggregation buffer (corpus-
+    // scale for frequent tokens at 100 TB) just to throw all but 5 away
+    // — ops.BottomK caps buffer, spill and shuffle bytes at O(k) per
+    // token for the whole aggregate lifecycle (see BottomKDistinctLong:
+    // numeric order, not lexicographic).
+    "llm_inverted_index" -> QueryDef(
+      doc = "token df/tf + bounded bottom-5 posting list",
+      oracle = """
+        |WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), agg AS (
+        |  SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+        |  FROM tok GROUP BY token
+        |), d AS (
+        |  SELECT DISTINCT token, doc_id FROM tok
+        |), r AS (
+        |  SELECT token, doc_id,
+        |         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |  FROM d
+        |), p AS (
+        |  SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM r WHERE rn <= 5 GROUP BY token
+        |)
+        |SELECT a.token, a.df, a.tf, p.postings
+        |FROM agg a JOIN p USING (token) ORDER BY token
+        |""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"),
+          graft.ops.BottomK.bottomKDistinctLong(col("doc_id").cast("long"), 5)
+            .as("post_ids"))
+        .select(col("token"), col("df"), col("tf"),
+          array_join(transform(col("post_ids"), _.cast("string")), ",")
+            .as("postings"))
     },
   )
 }

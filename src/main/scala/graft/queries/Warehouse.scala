@@ -281,5 +281,69 @@ object Warehouse {
           coalesce(lead("uts", 1).over(w), lit(Long.MaxValue))
             .as("valid_to_us"))
     },
+
+    // Iterative weighted graph propagation: 3 PageRank iterations over
+    // the customer↔supplier trade graph (edges = distinct pairs from
+    // orders⋈lineitem, symmetrized so every node has out-degree ≥ 1 —
+    // no dangling mass). All arithmetic is INTEGER (ppm-scaled ranks,
+    // floor division) so both engines produce bit-identical BIGINTs —
+    // float PageRank would diverge in the last ulp across aggregation
+    // orders. Scale shape (same family as ops.Components' fixpoint):
+    // edges+degree build once and persist (released via ops.Releases);
+    // each iteration is ONE shuffle — join ranks to edges on src, then
+    // groupBy dst with a partially-aggregated contribution sum. Rank
+    // state is one row per node; nothing driver-side, nothing
+    // quadratic (the DuckDB oracle chains one CTE per iteration —
+    // fixed depth, linear each).
+    "q22_pagerank" -> QueryDef(
+      doc = "3-iteration integer PageRank over the trade graph",
+      oracle = {
+        def iter(prev: String, cur: String) =
+          s"""$cur AS (
+             |  SELECT e.dst AS node, 150000 + (85 * sum(r.pr // e.deg)) // 100 AS pr
+             |  FROM edges e JOIN $prev r ON e.src = r.node
+             |  GROUP BY e.dst
+             |)""".stripMargin
+        s"""
+        |WITH eo AS (
+        |  SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), edge0 AS (
+        |  SELECT src, dst FROM eo
+        |  UNION ALL
+        |  SELECT dst AS src, src AS dst FROM eo
+        |), edges AS (
+        |  SELECT src, dst, count(*) OVER (PARTITION BY src) AS deg FROM edge0
+        |), r0 AS (
+        |  SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS pr FROM edge0
+        |), ${iter("r0", "r1")}, ${iter("r1", "r2")}, ${iter("r2", "r3")}
+        |SELECT node, pr AS pr3 FROM r3 ORDER BY node
+        |"""
+      }) { (s, d) =>
+      val eo = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edge0 = eo.unionByName(
+        eo.select(col("dst").as("src"), col("src").as("dst")))
+      // out-degree rides each edge row (window, not a join) and the
+      // decorated edge set persists: it is the loop-invariant operand
+      // of every iteration's join, and recomputing it would re-run the
+      // orders⋈lineitem distinct 3×. Released at the caller's drain.
+      val edges = edge0.withColumn("deg",
+        count(lit(1)).over(Window.partitionBy("src")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Releases.defer(() => { edges.unpersist(false); () })
+      var pr = edges.select(col("src").as("node")).distinct()
+        .withColumn("pr", lit(1000000L))
+      for (_ <- 1 to 3) {
+        pr = edges.join(pr, edges("src") === pr("node"))
+          .groupBy(col("dst").as("node"))
+          .agg(expr("150000 + (85 * sum(pr div deg)) div 100").as("pr"))
+      }
+      pr.select(col("node"), col("pr").as("pr3"))
+    },
   )
 }
