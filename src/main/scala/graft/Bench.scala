@@ -7,8 +7,16 @@ import org.apache.spark.sql.SparkSession
   *   - results are written to the `noop` sink, not `.count()`ed, so
   *     Catalyst cannot prune away the projected work being measured;
   *   - an untimed warmup query absorbs first-query session/codegen cost;
-  *   - failures surface as negative per-query values plus a "failures"
-  *     list instead of being swallowed as fast successes.
+  *   - failures surface as `null` per-query values plus a "failures"
+  *     list instead of being swallowed as fast successes (r8 ADVICE:
+  *     negative sentinels corrupted naive sums).
+  *
+  * Round-9 (r8 ADVICE): the JSON line is also written to a FILE
+  * ($SPARK_GRAFT_BENCH_OUT, default `bench_out.json` in cwd) so the
+  * artifact survives sbt stdout truncation, and a System.gc() runs
+  * between timed windows — on a 24g single-JVM heap the explode-heavy
+  * queries otherwise leave enough garbage that a full GC lands inside
+  * the NEXT query's timed window (the r8 4-8× second-iteration spikes).
   *
   * Round-8 (VERDICT r7 #1): the artifact is now self-adjudicating.
   * This virtualized host shows ±30-50% run-to-run variance (r7's driver
@@ -46,7 +54,9 @@ object Bench {
 
     val loadStart = loadavg()
     var failures = List.empty[String]
-    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Option = success; None = failed (emitted as JSON null, never a
+    // negative duration a naive sum would absorb).
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       val ok =
         try { run(fn); true }
@@ -57,9 +67,12 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       // outside the timed window: session hygiene, not query work —
-      // releases checkpoint blocks the query deferred (ops.Releases)
+      // releases checkpoint blocks the query deferred (ops.Releases),
+      // then collects the just-dropped garbage NOW so the pause cannot
+      // land inside the next timed window
       graft.ops.Releases.drain()
-      if (ok) sec else -sec
+      System.gc()
+      if (ok) Some(sec) else None
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = timed(name, fn)
@@ -67,14 +80,22 @@ object Bench {
       (name, first, steady)
     }
     val loadEnd = loadavg()
-    def jmap(f: ((String, Double, Double)) => Double): String =
-      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    def jnum(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
+    def jmap(f: ((String, Option[Double], Option[Double])) => Option[Double]): String =
+      results.map(r => "\"" + r._1 + "\":" + jnum(f(r))).mkString("{", ",", "}")
     val qs = jmap(_._2)
     val st = jmap(_._3)
     val fj = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    val steadyTotal = results.collect { case (_, _, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    val steadyTotal = results.flatMap(_._3).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}"""
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

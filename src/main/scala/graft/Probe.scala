@@ -32,6 +32,7 @@ object Probe {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val sec = (System.nanoTime() - t0) / 1e9
         graft.ops.Releases.drain() // untimed, like Bench
+        System.gc()                // untimed, like Bench (spike hygiene)
         sec
       }
       println(f"$n%-28s ${ts.map(t => f"$t%6.2f").mkString(" ")}")

@@ -47,15 +47,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * natively; read it as raw nanos (legacy conf) and convert to a micro-
-    * second TIMESTAMP. Truncation (floor) matches DuckDB's ns→s/date
-    * behavior for the epoch/date derivations used in queries. */
+  /** events.ts has shipped in two encodings across testdata generations:
+    * parquet TIMESTAMP(NANOS) (which Spark 4 only reads as raw longs via
+    * the legacy conf) and plain timestamp[us] (read as TIMESTAMP_NTZ).
+    * Dispatch on the loaded dtype so either generation yields a session-tz
+    * TIMESTAMP column: LongType → floor-divide nanos to micros (matches
+    * DuckDB's ns→s/date truncation); (N)TZ timestamp → cast passthrough
+    * (session tz is UTC, so NTZ→TZ is value-identical). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

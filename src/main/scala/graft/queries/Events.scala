@@ -15,10 +15,11 @@ object Events {
     // event-against-latest-state lookup (session attribution, price
     // as-of trade, latest-sensor-reading joins). Oracle: DuckDB's
     // native ASOF LEFT JOIN. Both engines compare epoch-MICROSECOND
-    // integers: events.parquet is TIMESTAMP(NANOS), which
-    // Tables.events floor-truncates to µs, so the oracle truncates
-    // identically (epoch_ns // 1000) — comparing raw timestamps would
-    // let a sub-µs difference order the engines differently. The right
+    // integers: Tables.events normalizes ts to a µs TIMESTAMP whatever
+    // the parquet encoding (nanos-as-long or timestamp[us]), and the
+    // oracle truncates identically (epoch_ns // 1000) — comparing raw
+    // timestamps would let a sub-µs difference order the engines
+    // differently. The right
     // side pre-aggregates to one row per (user_id, µs): AsOf resolves
     // equal-(key, ts) right rows by sort order, which is not
     // deterministic across engines, so the query removes the ambiguity
@@ -324,7 +325,7 @@ object Events {
       import org.apache.spark.sql.expressions.Window
       val agg = Tables.events(s, d)
         // µs div 3.6e9 == ns div 3.6e12 for positive epochs (Tables
-        // .events already floor-truncates the TIMESTAMP(NANOS) to µs)
+        // .events already normalizes ts to a µs TIMESTAMP)
         .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"),
           col("value"))
         .groupBy("event_type", "hr")

@@ -1164,31 +1164,27 @@ object LlmOps {
     //   - per-doc dedup is array_distinct INSIDE the row (map-side,
     //     free) — a global `.distinct()` shuffled the pair set once
     //     just to dedup keys that never collide across docs;
-    //   - gram keys are 60-bit longs (conv of the sha256 prefix, the
-    //     engine-portable numeric-hash idiom) — 64-char hex strings
-    //     tripled the exchange bytes and the agg compare cost;
+    //   - gram keys are xxhash64 longs. The hash is INTERNAL: the
+    //     query's output (doc_id, n_shared) never exposes it, so the
+    //     engines need not hash identically — the oracle counts the
+    //     gram STRINGS and any cross-engine divergence requires an
+    //     xxhash64 collision (~1e-10 at verify scale). r8 used a
+    //     60-bit sha256 prefix on BOTH sides for hash-portability; the
+    //     crypto hash + hex conv was the row's dominant cost (12.6×
+    //     DuckDB steady — r8 VERDICT's named offender);
     //   - the exploded pair set is repartition(gh)-pinned ONCE (the c8
     //     pattern): the doc-frequency agg consumes it partition-local
     //     and the map-back join consumes the same exchange via
     //     ReusedExchange, so the corpus is scanned and shuffled exactly
     //     once. Pair space is corpus-linear, never quadratic; the
     //     frequent-gram side is count-bounded and broadcasts.
-    // Probed sf0.1 steady 1.9-2.4 s (host-load-dependent) vs 2.4-2.6
-    // for the string-keyed global-distinct form and 2.7+ for a
-    // codegen'd explode-positions rewrite (generator row traffic plus
-    // a dedup agg over every gram instance outweigh the interpreted
-    // lambda). The residual over DuckDB (~0.2 s) is multi-stage AQE
-    // scheduling on a corpus small enough to fit one DuckDB morsel —
-    // the shape itself is one scan + one shuffle + bounded broadcast.
     "llm_repeated_ngrams" -> QueryDef(
       doc = "per-doc count of 8-grams shared with other docs (substring dedup)",
       oracle = """
         |WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |), g AS (
-        |  SELECT DISTINCT doc_id,
-        |         CAST('0x' || substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 15)
-        |              AS BIGINT) AS gh
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gh
         |  FROM w, unnest(range(1, len(ws) - 6)) AS t(i)
         |  WHERE len(ws) >= 8
         |), cnt AS (
@@ -1201,16 +1197,10 @@ object LlmOps {
       val words = split(col("text"), " ")
       // per-doc dedup INSIDE the row (array_distinct) — grams never
       // collide across docs' pair rows, so a global distinct shuffle
-      // is pure waste. The interpreted higher-order lambda measured
-      // FASTER than the codegen'd explode-positions rewrite (1.9 s vs
-      // 2.7 s steady at sf0.1): the HOF computes each gram once per
-      // doc, while the exploded form pays generator row traffic plus a
-      // partition-local dedup agg over every instance.
+      // is pure waste.
       val grams = array_distinct(transform(
         sequence(lit(0), size(words) - 8),
-        i => conv(substring(
-          sha2(array_join(slice(words, i + 1, lit(8)), " "), 256), 1, 15),
-          16, 10).cast("long")))
+        i => xxhash64(array_join(slice(words, i + 1, lit(8)), " "))))
       // doc-level fanout BEFORE the gram lambda: the sf files are a
       // single split, so without it the whole hash pipeline runs in
       // one task (identity at production partition counts)
@@ -1221,16 +1211,12 @@ object LlmOps {
       // g is distinct per (doc_id, gh), so doc-frequency = a count
       // window over gh — computed INLINE on g's one gh shuffle rather
       // than via a hot-gram self-join: the join formulation ran the
-      // whole gram pipeline (sha256 per 8-gram) TWICE, because the two
-      // repartition(gh) subtrees canonicalize differently (the count
-      // branch prunes doc_id, the join branch keeps it — same
+      // whole gram pipeline (one hash per 8-gram) TWICE, because the
+      // two repartition(gh) subtrees canonicalize differently (the
+      // count branch prunes doc_id, the join branch keeps it — same
       // rewrite-divergence class as c8/tfidf; executed-plan audit
       // showed only the doc_id fanout exchange reused). Window over a
-      // partition-only frame needs no orderBy. Steady at sf0.1 is
-      // UNCHANGED (~2.0 s — the row is dominated by multi-stage AQE
-      // scheduling plus the interpreted gram lambda, not by the
-      // duplicated hashing at this scale); the rewrite is kept for the
-      // 100 TB shape, where hashing every 8-gram twice is real money.
+      // partition-only frame needs no orderBy.
       // Per-gh window partitions are corpus-bounded only for
       // boilerplate grams that repeat in most docs — exactly what
       // llm_boilerplate removes upstream at 100 TB.

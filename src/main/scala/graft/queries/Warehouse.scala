@@ -300,7 +300,7 @@ object Warehouse {
       oracle = {
         def iter(prev: String, cur: String) =
           s"""$cur AS (
-             |  SELECT e.dst AS node, 150000 + (85 * sum(r.pr // e.deg)) // 100 AS pr
+             |  SELECT e.dst AS node, CAST(150000 + (85 * sum(r.pr // e.deg)) // 100 AS BIGINT) AS pr
              |  FROM edges e JOIN $prev r ON e.src = r.node
              |  GROUP BY e.dst
              |)""".stripMargin
@@ -344,6 +344,60 @@ object Warehouse {
           .agg(expr("150000 + (85 * sum(pr div deg)) div 100").as("pr"))
       }
       pr.select(col("node"), col("pr").as("pr3"))
+    },
+
+    // Connected components to an exact FIXPOINT over a sparse
+    // supplier↔part graph (rare max-quantity, last-linenumber
+    // lineitems — chosen so the graph actually fragments: 72
+    // components at sf0.01, 746 at sf0.1, diameter ≤ 14), via the
+    // production ops.Components loop (Pregel-style min-label
+    // propagation, one shuffle per round, per-round localCheckpoint —
+    // the general-diameter path that llm_dedup_cluster's 2-round
+    // inline form documents). Oracle: the same min-label recurrence
+    // chained a FIXED 20 rounds — propagation is idempotent once
+    // converged, so extra rounds change nothing and the chain matches
+    // the fixpoint whenever the true diameter ≤ 20 (verified
+    // empirically at both verify SFs; Components.run throws rather
+    // than return a silently-partial labeling). Output: per-component
+    // size + min node, on component-id order.
+    "q23_components" -> QueryDef(
+      doc = "connected components (fixpoint min-label) over the rare-quantity supplier↔part graph",
+      oracle = {
+        def iter(prev: String, cur: String) =
+          s"""$cur AS (
+             |  SELECT e.dst AS node, min(r.lbl) AS lbl
+             |  FROM edges e JOIN $prev r ON e.src = r.node
+             |  GROUP BY e.dst
+             |)""".stripMargin
+        val chain = (0 until 20)
+          .map(i => iter(s"r$i", s"r${i + 1}")).mkString(", ")
+        s"""
+        |WITH e0 AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+        |  FROM lineitem WHERE l_quantity = 50 AND l_linenumber = 7
+        |), edges AS (
+        |  SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst, src FROM e0
+        |  UNION ALL SELECT src, src FROM e0
+        |  UNION ALL SELECT dst, dst FROM e0
+        |), r0 AS (
+        |  SELECT node, min(lbl) AS lbl FROM (
+        |    SELECT src AS node, dst AS lbl FROM edges) GROUP BY node
+        |), $chain
+        |SELECT lbl AS component, count(*) AS n_nodes, min(node) AS min_node
+        |FROM r20 GROUP BY 1 ORDER BY 1
+        |"""
+      }) { (s, d) =>
+      val e0 = Tables.lineitem(s, d)
+        .where(col("l_quantity") === 50 && col("l_linenumber") === 7)
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .distinct()
+      val labels = graft.ops.Components.run(e0)
+      graft.ops.Releases.defer(() => labels.release())
+      labels.components
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
     },
   )
 }

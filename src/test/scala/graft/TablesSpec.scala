@@ -22,4 +22,43 @@ class TablesSpec extends SparkSpec {
     assert(Tables.nation(spark, dir) eq a, "other-session invalidate must not evict")
     assert(Tables.nation(other, dir) ne b)
   }
+
+  // The driver has regenerated events.parquet with a different ts
+  // encoding between rounds (nanos-as-long vs timestamp[us]); this
+  // pins the loader's schema dispatch so the next drift is a red test,
+  // not N silent plan-time failures downstream.
+  test("events loader normalizes every ts encoding to a µs TIMESTAMP") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val base = java.nio.file.Files.createTempDirectory("tables-events").toString
+    val micros = 1723500000123456L // 2024-08-12T22:40:00.123456Z
+    def row(ts: Any) = Row(1L, ts, 7L, "click", 1.5, "{}")
+    def schema(tsType: DataType) = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // nanos-as-long generation (legacy TIMESTAMP(NANOS) reads as int64)
+    val nanosDir = s"$base/nanos"
+    spark.createDataFrame(
+      java.util.List.of(row(micros * 1000L)), schema(LongType))
+      .write.parquet(s"$nanosDir/events.parquet")
+    // native µs generations: TIMESTAMP and TIMESTAMP_NTZ
+    val inst = java.time.Instant.ofEpochSecond(micros / 1000000L, (micros % 1000000L) * 1000L)
+    val tzDir = s"$base/tz"
+    spark.createDataFrame(
+      java.util.List.of(row(java.sql.Timestamp.from(inst))), schema(TimestampType))
+      .write.parquet(s"$tzDir/events.parquet")
+    val ntzDir = s"$base/ntz"
+    spark.createDataFrame(
+      java.util.List.of(row(java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC))),
+      schema(TimestampNTZType))
+      .write.parquet(s"$ntzDir/events.parquet")
+    for (d <- Seq(nanosDir, tzDir, ntzDir)) {
+      val df = Tables.events(spark, d)
+      assert(df.schema("ts").dataType == TimestampType, s"$d must load ts as TIMESTAMP")
+      val got = df.select(unix_micros(col("ts"))).head.getLong(0)
+      assert(got == micros, s"$d: expected $micros, got $got")
+    }
+  }
 }
