@@ -1194,13 +1194,14 @@ object LlmOps {
         |FROM g JOIN cnt USING (gh)
         |GROUP BY 1 ORDER BY 1
         |""") { (s, d) =>
+      graft.functions.NgramHashes.register(s)
       val words = split(col("text"), " ")
-      // per-doc dedup INSIDE the row (array_distinct) — grams never
-      // collide across docs' pair rows, so a global distinct shuffle
-      // is pure waste.
-      val grams = array_distinct(transform(
-        sequence(lit(0), size(words) - 8),
-        i => xxhash64(array_join(slice(words, i + 1, lit(8)), " "))))
+      // per-doc dedup INSIDE the row — grams never collide across
+      // docs' pair rows, so a global distinct shuffle is pure waste.
+      // ngram_hashes is the fused codegen'd expression (one pass per
+      // doc; see functions/NgramHashes.scala) — the HOF transform
+      // lambda it replaces was ~80% of this query's steady time.
+      val grams = expr("ngram_hashes(split(text, ' '), 8)")
       // doc-level fanout BEFORE the gram lambda: the sf files are a
       // single split, so without it the whole hash pipeline runs in
       // one task (identity at production partition counts)
@@ -1922,6 +1923,82 @@ object LlmOps {
         .select(col("token"), col("df"), col("tf"),
           array_join(transform(col("post_ids"), _.cast("string")), ",")
             .as("postings"))
+    },
+
+    // Bigram-LM quality score (the CCNet/Gopher-style perplexity-proxy
+    // filter: score each document under a count-based language model;
+    // low-probability docs are gibberish/boilerplate candidates). The
+    // LM here is add-one-smoothed bigram MLE trained on the corpus
+    // itself; a production run trains counts on a REFERENCE corpus
+    // (Wikipedia in CCNet) and the count tables below become
+    // broadcast-joined lookups with an OOV fallback — identical plan,
+    // different count source. All arithmetic is integer ppm (per-
+    // instance prob_ppm = (c2+1)·1e6 // (c1+V); doc score = mean) —
+    // a float log-prob would diverge across engines in the last ulp,
+    // and the fixed-point mean preserves the filter ordering. Shape:
+    // c2 (the bigram count table — observed-bigram-bounded, Heaps-
+    // sublinear vs corpus, the LM itself) has TWO consumers (the
+    // instance join and c1's derivation); their pruned subtrees
+    // canonicalize differently (same divergence class as c8's enc —
+    // executed-plan audit showed the bigram pipeline rebuilt under
+    // c1), and c2 is exactly the dimension-scale frame the c8 note
+    // prescribes materializing: persist + deferred release via
+    // ops.Releases. c1 (unigram context totals) then derives from the
+    // persisted TABLE and broadcasts; V is one scalar. The corpus-
+    // scale work is two bigram-stream passes (count build + scoring
+    // join) and the final per-doc agg — the instance stream itself is
+    // never persisted (too big at 100 TB; recompute is one
+    // scan+explode).
+    "llm_lm_score" -> QueryDef(
+      doc = "add-one bigram LM quality score per doc (integer-ppm CCNet-style filter)",
+      oracle = """
+        |WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), bg AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM w, unnest(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT tk) AS v FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
+        |)
+        |SELECT bg.doc_id,
+        |       count(*) AS n_bigrams,
+        |       CAST(sum((c2.c2 + 1) * 1000000 // (c1.c1 + v.v)) // count(*)
+        |            AS BIGINT) AS avg_prob_ppm
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1
+        |""") { (s, d) =>
+      val ws = split(col("text"), " ")
+      // in-row bigram build (adjacent-token structs), then ONE explode
+      // — a posexplode + self-join on (doc, pos+1) would pay a corpus
+      // shuffle just to pair adjacent tokens
+      val bg = fanout(Tables.documents(s, d)
+          .where(size(ws) >= 2)
+          .select(col("doc_id"), ws.as("ws")), col("doc_id"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
+            "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Releases.defer(() => { c2.unpersist(true); () })
+      val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+      val v = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tk"))
+        .agg(countDistinct("tk").as("v"))
+      bg.join(c2, Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .crossJoin(v)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum((c2 + 1) * 1000000 div (c1 + v)) div count(1)")
+            .cast("long").as("avg_prob_ppm"))
     },
   )
 }
