@@ -359,64 +359,59 @@ object Clean {
   // bounded by the calendar span.
   def minimizeServices(feed: Feed)(implicit spark: SparkSession): Feed = {
     if (!feed.contains("calendar") && !feed.contains("calendar_dates")) return feed
-    // `days` has FOUR consumers (span ×2 via possible/enc, actual,
-    // newCalDates). serviceDays' repartition(service_id) pins ONE
-    // identical exchange under every consumer: without it their
-    // subtrees canonicalize DIFFERENTLY — RemoveRedundantAggregates
-    // collapses the dedup into `possible`'s min/max lineage but not the
-    // others — so no exchange is ever reused and the upstream expansion
-    // executes once per consumer (round-7 plan audit: 6 scans, 1 after
-    // the fix). The defensive dropDuplicates below collapses to an
-    // in-partition agg (partitioning already satisfies it) instead of a
-    // second shuffle; every downstream groupBy/join here keys on
+    // `days` has TWO consumers (the span/mask aggregation and
+    // newCalDates' join). serviceDays' repartition(service_id) pins ONE
+    // identical exchange under both: without it their subtrees
+    // canonicalize DIFFERENTLY and no exchange is ever reused, so the
+    // upstream expansion executes once per consumer (round-7 plan
+    // audit: 6 scans, 1 after the fix — the consumer count dropped
+    // from four to two in round 9 when the mask computation fused into
+    // the span agg). The defensive dropDuplicates below collapses to
+    // an in-partition agg (partitioning already satisfies it) instead
+    // of a second shuffle; every downstream groupBy/join here keys on
     // service_id, so no consumer shuffles again either.
     val days = Views.serviceDays(feed).select("service_id", "svc_date")
       .dropDuplicates("service_id", "svc_date")
+    // The whole weekly-mask decision folds into ONE aggregation over
+    // `days` plus row-level arithmetic (round-9; previously `possible`
+    // explode + `actual` agg + mask join + coverage re-agg — four
+    // operators and their stages for what a closed form knows):
+    //   - per-dow actual counts ride the span agg as 7 conditional
+    //     counts;
+    //   - occurrences of weekday dw in [d0, d1] in CLOSED FORM —
+    //     first-occurrence offset o = (dw − weekday(d0)) mod 7, then
+    //     1 + ⌊(len − 1 − o) / 7⌋ if o < len else 0 — a day-granular
+    //     explode would pay a corpus-scale shuffle to count what
+    //     arithmetic already knows;
+    //   - mask bit dw = (possible_dw > 0 AND actual_dw = possible_dw):
+    //     a dow the span never contains stays out of the mask, exactly
+    //     the semantics the old dropped-zero-possible rows encoded.
+    val dowCounts = (0 to 6).map(dw =>
+      count(when(expr(s"weekday(svc_date) = $dw"), 1)).as(s"na_$dw"))
     val span = days.groupBy("service_id")
-      .agg(min("svc_date").as("d0"), max("svc_date").as("d1"),
-        count(lit(1)).as("n_dates"))
-    // occurrences of weekday `dow` in [d0, d1] in CLOSED FORM — a
-    // day-granular explode of the span (the obvious formulation) fans
-    // out span-length rows per service and re-aggregates them, paying a
-    // corpus-scale shuffle to count what arithmetic already knows:
-    // first occurrence offset o = (dow − weekday(d0)) mod 7, then
-    // 1 + ⌊(len − 1 − o) / 7⌋ occurrences if o < len else 0. Rows with
-    // zero occurrences are dropped to match the expansion exactly
-    // (their absence is what keeps a never-possible dow out of the
-    // mask when the span is shorter than a week).
-    val possible = span
-      .select(col("service_id"), col("d0"), col("d1"),
-        explode(expr("sequence(0, 6)")).as("dow"))
-      .withColumn("o", (col("dow") - expr("weekday(d0)") + 7) % 7)
-      .withColumn("len", datediff(col("d1"), col("d0")) + 1)
-      .where(col("o") < col("len"))
-      .select(col("service_id"), col("dow"),
-        (lit(1) + floor((col("len") - 1 - col("o")) / 7)).as("n_possible"))
-    val actual = days
-      .groupBy(col("service_id"), expr("weekday(svc_date)").as("dow"))
-      .agg(count(lit(1)).as("n_actual"))
-    val maskDf = possible.join(actual, Seq("service_id", "dow"), "left")
-      .withColumn("in_mask", coalesce(col("n_actual"), lit(0)) === col("n_possible"))
-    // ONE aggregation carries both the 7 mask bits and the covered
-    // count (they were two groupBys over the same frame — the second
-    // paid a full extra pass + join for one column)
-    val dowAggs = (0 to 6).map(dw =>
-      max(when(col("dow") === dw && col("in_mask"), 1).otherwise(0)).as(s"dow_$dw"))
-    val maskCov = maskDf.groupBy("service_id")
-      .agg(dowAggs.head, (dowAggs.tail :+
-        sum(when(col("in_mask"), col("n_actual")).otherwise(0)).as("n_covered")): _*)
-      .withColumn("mask_arr", array((0 to 6).map(dw => col(s"dow_$dw")): _*))
-    // `enc` has TWO consumers (newCalendar, newCalDates' join). A
-    // pinned repartition exchange — the fix that worked for `days` —
-    // does NOT hold here: newCalendar's use_calendar filter pushes
-    // through RepartitionByExpression, so the consumers' exchange
-    // subtrees canonicalize differently and nothing is reused (round-8
-    // plan audit: the maskCov pipeline appeared twice regardless).
-    // enc is ONE ROW PER SERVICE — dimension-scale at any corpus size
+      .agg(min("svc_date").as("d0"),
+        (Seq(max("svc_date").as("d1"), count(lit(1)).as("n_dates")) ++
+          dowCounts): _*)
+    val len = datediff(col("d1"), col("d0")) + 1
+    def nPossible(dw: Int) = {
+      val o = (lit(dw) - expr("weekday(d0)") + 7) % 7
+      when(o < len, lit(1) + floor((len - 1 - o) / 7)).otherwise(lit(0))
+    }
+    def inMask(dw: Int) =
+      (nPossible(dw) > 0 && col(s"na_$dw") === nPossible(dw)).cast("int")
+    // `enc` has TWO consumers (newCalendar, newCalDates' join) whose
+    // pruned subtrees canonicalize differently (round-8 plan audit:
+    // the mask pipeline appeared twice under a repartition pin). enc
+    // is ONE ROW PER SERVICE — dimension-scale at any corpus size
     // (services ≪ stop_times) — so materialize it: persist + deferred
     // unpersist via ops.Releases (the fixpoint's caller-owns-release
     // pattern; Verify/Bench/Probe/Explain and the import path drain).
-    val enc = span.join(maskCov, "service_id")
+    val enc = span
+      .select(Seq(col("service_id"), col("d0"), col("d1"), col("n_dates")) ++
+        (0 to 6).map(dw => inMask(dw).as(s"dow_$dw")) ++
+        Seq((0 to 6).map(dw => when(inMask(dw) === 1, col(s"na_$dw"))
+          .otherwise(lit(0L))).reduce(_ + _).as("n_covered")): _*)
+      .withColumn("mask_arr", array((0 to 6).map(dw => col(s"dow_$dw")): _*))
       .withColumn("cost_cal", lit(1) + (col("n_dates") - col("n_covered")))
       .withColumn("use_calendar",
         col("cost_cal") < col("n_dates") && col("n_covered") > 0)

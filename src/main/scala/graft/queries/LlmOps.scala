@@ -1973,32 +1973,42 @@ object LlmOps {
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY 1 ORDER BY 1
         |""") { (s, d) =>
-      val ws = split(col("text"), " ")
-      // in-row bigram build (adjacent-token structs), then ONE explode
-      // — a posexplode + self-join on (doc, pos+1) would pay a corpus
-      // shuffle just to pair adjacent tokens
-      val bg = fanout(Tables.documents(s, d)
-          .where(size(ws) >= 2)
-          .select(col("doc_id"), ws.as("ws")), col("doc_id"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
-            "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"))
-          .as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.ops.Releases.defer(() => { c2.unpersist(true); () })
-      val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-      val v = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("tk"))
-        .agg(countDistinct("tk").as("v"))
-      bg.join(c2, Seq("w1", "w2"))
-        .join(broadcast(c1), Seq("w1"))
-        .crossJoin(v)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          expr("sum((c2 + 1) * 1000000 div (c1 + v)) div count(1)")
-            .cast("long").as("avg_prob_ppm"))
+      lmScore(Tables.documents(s, d))
     },
   )
+
+  /** The llm_lm_score pipeline from a `(doc_id, text)` frame onward.
+    * Factored out of the QueryDef so Warmup can compile the exact plan
+    * shapes (named_struct transform explode, cached-count broadcast
+    * join, integer-ppm div aggregation) on a toy frame — the c8Summary
+    * pattern. */
+  private[graft] def lmScore(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ws = split(col("text"), " ")
+    // in-row bigram build (adjacent-token structs), then ONE explode
+    // — a posexplode + self-join on (doc, pos+1) would pay a corpus
+    // shuffle just to pair adjacent tokens
+    val bg = fanout(docs
+        .where(size(ws) >= 2)
+        .select(col("doc_id"), ws.as("ws")), col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
+          "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Releases.defer(() => { c2.unpersist(true); () })
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = docs
+      .select(explode(split(col("text"), " ")).as("tk"))
+      .agg(countDistinct("tk").as("v"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(v)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum((c2 + 1) * 1000000 div (c1 + v)) div count(1)")
+          .cast("long").as("avg_prob_ppm"))
+  }
 }
