@@ -1984,18 +1984,7 @@ object LlmOps {
     * pattern. */
   private[graft] def lmScore(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val ws = split(col("text"), " ")
-    // in-row bigram build (adjacent-token structs), then ONE explode
-    // — a posexplode + self-join on (doc, pos+1) would pay a corpus
-    // shuffle just to pair adjacent tokens
-    val bg = fanout(docs
-        .where(size(ws) >= 2)
-        .select(col("doc_id"), ws.as("ws")), col("doc_id"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
-          "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"))
-        .as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bg = lmBigrams(docs)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.ops.Releases.defer(() => { c2.unpersist(true); () })
@@ -2010,5 +1999,36 @@ object LlmOps {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum((c2 + 1) * 1000000 div (c1 + v)) div count(1)")
           .cast("long").as("avg_prob_ppm"))
+  }
+
+  /** The bigram-instance stream `(doc_id, w1, w2)` behind llm_lm_score:
+    * in-row adjacent-token structs, then ONE explode — a posexplode +
+    * self-join on (doc, pos+1) would pay a corpus shuffle just to pair
+    * adjacent tokens. */
+  private[graft] def lmBigrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ws = split(col("text"), " ")
+    fanout(docs
+        .where(size(ws) >= 2)
+        .select(col("doc_id"), ws.as("ws")), col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
+          "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  /** The publishable LM model behind llm_lm_score — what a periodic
+    * batch pass hands to [[graft.streaming.Streams.lmScoreStream]]:
+    * bigram counts c2, context totals c1, vocab size V. The action on V
+    * is a one-scalar collect (the model build is a batch job, not a
+    * query path). */
+  private[graft] def lmModel(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long) = {
+    val c2 = lmBigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = docs.select(explode(split(col("text"), " ")).as("tk"))
+      .agg(countDistinct("tk").as("v")).head.getLong(0)
+    (c2, c1, v)
   }
 }

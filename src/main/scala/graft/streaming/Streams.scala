@@ -144,6 +144,46 @@ object Streams {
         when(col("n_boiler") * 10 >= col("n_sh") * 9, 1L).otherwise(0L))
   }
 
+  /** Streaming bigram-LM quality scoring — the ingest-time flavor of
+    * batch `llm_lm_score`, split the same way as
+    * [[boilerplateScoreStream]]: the LM itself (bigram counts c2,
+    * context totals c1, vocab size V) cannot stream — it is the model a
+    * periodic batch pass publishes — and the stream scores each
+    * arriving document against it STATELESSLY. Both count tables
+    * collapse to one-row MAP columns broadcast-joined on a constant
+    * key; per-doc scoring is a higher-order transform over the
+    * document's bigrams with element_at lookups — no streaming
+    * aggregation, no state store, no shuffle. OOV bigrams fall back to
+    * the add-one floor ((0+1)·1e6 // (0+V)), so scoring a corpus with
+    * its OWN published counts reproduces batch llm_lm_score
+    * row-for-row (StreamBatchEquivSpec) while unseen ingest text still
+    * scores sensibly. For models too large for one broadcast row, swap
+    * the map join for a stream-static equi join on the bigram key —
+    * same counts, per-batch shuffle instead of broadcast. */
+  def lmScoreStream(docs: DataFrame, c2: DataFrame, c1: DataFrame,
+      v: Long): DataFrame = {
+    val m2 = broadcast(c2.agg(map_from_entries(collect_list(struct(
+        concat_ws(" ", col("w1"), col("w2")), col("c2")))).as("m2"))
+      .withColumn("jk", lit(1)))
+    val m1 = broadcast(c1.agg(map_from_entries(collect_list(struct(
+        col("w1"), col("c1")))).as("m1"))
+      .withColumn("jk", lit(1)))
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .withColumn("jk", lit(1))
+      .join(m2, Seq("jk"))
+      .join(m1, Seq("jk"))
+      .withColumn("probs", expr(
+        "transform(sequence(1, size(toks) - 1), i -> " +
+          "(coalesce(element_at(m2, concat(toks[i-1], ' ', toks[i])), 0L) + 1)" +
+          s" * 1000000 div (coalesce(element_at(m1, toks[i-1]), 0L) + $v))"))
+      .select(col("doc_id"),
+        size(col("probs")).cast("long").as("n_bigrams"),
+        expr("aggregate(probs, 0L, (a, x) -> a + x) div size(probs)")
+          .as("avg_prob_ppm"))
+  }
+
   final case class BandRow(docId: Long, ts: java.sql.Timestamp,
       band: Int, bucket: Long)
   final case class BucketAnchor(anchorId: Long)

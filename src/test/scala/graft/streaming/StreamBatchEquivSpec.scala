@@ -192,6 +192,50 @@ class StreamBatchEquivSpec extends SparkSpec {
     assert(batch.count(_._4 == 0L) == 30)
   }
 
+  test("LM scoring stream with the batch-published model equals batch llm_lm_score") {
+    import spark.implicits._
+    // mixed fixture: a repeated fluent template (high bigram counts),
+    // unique gibberish (all count-1 bigrams), and a single-word doc
+    // (no bigrams — excluded by both sides)
+    val rows = Seq(
+      1L -> "the cat sat on the mat and the dog sat on the rug",
+      2L -> "the cat sat on the mat and the dog sat on the rug",
+      3L -> "qzx wvu plm okn ijb uhv ygc tfx rdz esw",
+      4L -> "the dog sat on the mat",
+      5L -> "single")
+    val drop = writeDropDir(rows)
+    val batchDir = writeBatchDir(rows)
+    // the periodic batch pass publishes the model…
+    val (c2, c1, v) = graft.queries.LlmOps.lmModel(
+      spark.read.parquet(batchDir.resolve("documents.parquet").toString))
+    // …and the stream scores arrivals against it, statelessly
+    val stream = spark.readStream.schema(docSchema).parquet(drop.toString)
+    runAvailableNow(Streams.lmScoreStream(stream, c2, c1, v), "equiv_lm")
+    val streamed = spark.table("equiv_lm")
+      .select("doc_id", "n_bigrams", "avg_prob_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("llm_lm_score")(spark, batchDir.toString)
+      .select("doc_id", "n_bigrams", "avg_prob_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    // same counts, same integer arithmetic ⇒ row-for-row equality
+    assert(streamed == batch,
+      s"stream-only: ${streamed -- batch}\nbatch-only: ${batch -- streamed}")
+    // the fixture discriminates: the repeated template outscores the
+    // gibberish, and the 1-word doc appears on neither side
+    val byId = batch.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) > byId(3L), s"scores: $byId")
+    assert(!byId.contains(5L))
+    // OOV fallback: text unseen by the model still scores at the
+    // add-one floor, statelessly
+    val oovDir = writeDropDir(Seq(9L -> "totally unseen words here"))
+    val oovStream = spark.readStream.schema(docSchema).parquet(oovDir.toString)
+    runAvailableNow(Streams.lmScoreStream(oovStream, c2, c1, v), "equiv_lm_oov")
+    val oov = spark.table("equiv_lm_oov")
+      .select("doc_id", "n_bigrams", "avg_prob_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(oov == Set((9L, 3L, 1000000L / (0L + v))), s"oov: $oov")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import spark.implicits._
     def ts(sec: Int) = java.sql.Timestamp.valueOf(
