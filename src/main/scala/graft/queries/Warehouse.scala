@@ -382,6 +382,61 @@ object Warehouse {
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
     },
+
+    // Triangle counting over the high-quantity co-purchase graph
+    // (parts appearing together in an order), the third graph-analytic
+    // class next to PageRank (iterative) and components (fixpoint):
+    // a bounded multi-way self-join. Edges are oriented a < b so each
+    // triangle materializes exactly once as a<b<c — the standard
+    // exactly-once enumeration; at scale the orientation knob is
+    // BY DEGREE (low-degree node first), which bounds the wedge
+    // fan-out per node by sqrt(|E|) on skewed graphs (the id
+    // orientation is the readable default and the testdata graph is
+    // near-uniform). Wedge build joins on the shared middle vertex,
+    // the closing join is an equi join on BOTH endpoints — no
+    // inequality-join fallback anywhere. Per-node counts unpivot the
+    // three corners through one explode.
+    "q24_triangles" -> QueryDef(
+      doc = "per-part triangle counts in the high-quantity co-purchase graph",
+      oracle = """
+        |WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 45
+        |), e AS (
+        |  SELECT DISTINCT a.p AS pa, b.p AS pb
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |), tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |       JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        |)
+        |SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY 1 ORDER BY 1
+        |""") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .where(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      // edge list persists: it is all three join operands, and
+      // recomputing the per-order pairing twice more would triple the
+      // scan+pair cost (released at the caller's drain)
+      val e = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Releases.defer(() => { e.unpersist(false); () })
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
+        .join(e.as("e3"),
+          col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
+        .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    },
   )
 
   /** The q22 loop from a distinct `(src, dst)` edge frame onward:
