@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -111,6 +111,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_sq"),
       new ExpressionInfo(classOf[L2SqExpr].getName, "l2_sq"),
       arity("l2_sq", 2)(c => L2SqExpr(c.head, c(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashesExpr].getName, "ngram_hashes"),
+      arity("ngram_hashes", 2) {
+        case Seq(words, Literal(n: Int, _)) => NgramHashesExpr(words, n)
+        case _ => throw new IllegalArgumentException(
+          "usage: ngram_hashes(array<string>, <int literal>)")
+      }))
     // logical rewrite: inequality range joins -> bucketized equi joins
     // (opt-in via spark.graft.rangeJoin.bucketWidth; see the rule's doc)
     ext.injectOptimizerRule(session =>

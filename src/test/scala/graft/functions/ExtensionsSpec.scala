@@ -32,9 +32,17 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(s.sql(
         "SELECT l2_sq(array(1.0D, 2.0D), array(1.0D, 4.0D)) AS v")
         .head().getDouble(0) == 4.0)
+      assert(s.sql(
+        "SELECT size(ngram_hashes(split('a b c d', ' '), 2)) AS v")
+        .head().getInt(0) == 3)
       // wrong arity → clear message, not a Catalyst internal error
       val e = intercept[Exception] { s.sql("SELECT l2_sq(array(1.0D))").collect() }
       assert(e.getMessage.contains("l2_sq expects 2"), e.getMessage)
+      // non-literal n → clear usage message
+      val e2 = intercept[Exception] {
+        s.sql("SELECT ngram_hashes(split('a b', ' '), CAST(rand()*2 AS INT))").collect()
+      }
+      assert(e2.getMessage.contains("ngram_hashes"), e2.getMessage)
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
