@@ -94,4 +94,53 @@ class WarehouseSpec extends SparkSpec {
       hist.init.foreach(h => assert(h._3 < h._4))
     }
   }
+
+  test("pagerank3: hand-checkable graphs — symmetric pair is stationary, star skews to hub") {
+    // symmetric 2-node graph: both degrees 1, uniform start is the
+    // stationary point — every iteration returns exactly 1_000_000 ppm
+    val pair = Seq(("a", "b")).toDF("src", "dst")
+    val prPair = Warehouse.pagerank3(pair)
+      .as[(String, Long)].collect().toMap
+    graft.ops.Releases.drain()
+    assert(prPair == Map("a" -> 1000000L, "b" -> 1000000L), s"$prPair")
+    // 3-leaf star: the hub accumulates 3 whole leaf ranks each round
+    // while each leaf gets hub/3 — hub rank must exceed leaf rank, and
+    // the three leaves are symmetric (identical ranks)
+    val star = Seq(("hub", "l1"), ("hub", "l2"), ("hub", "l3"))
+      .toDF("src", "dst")
+    val prStar = Warehouse.pagerank3(star)
+      .as[(String, Long)].collect().toMap
+    graft.ops.Releases.drain()
+    assert(prStar("hub") > prStar("l1"), s"$prStar")
+    assert(prStar("l1") == prStar("l2") && prStar("l2") == prStar("l3"))
+    // integer recurrence is exactly reproducible: hand-run the same
+    // 3 rounds (deg: hub=3, leaves=1; all start at 1e6 ppm)
+    var hub = 1000000L; var leaf = 1000000L
+    for (_ <- 1 to 3) {
+      val nh = 150000L + (85L * (3L * leaf)) / 100L
+      val nl = 150000L + (85L * (hub / 3L)) / 100L
+      hub = nh; leaf = nl
+    }
+    assert(prStar("hub") == hub && prStar("l1") == leaf,
+      s"expected hub=$hub leaf=$leaf, got $prStar")
+  }
+
+  test("q24 triangle enumeration: K4 yields 3 triangles per node, path graphs none") {
+    // mirror the query's pipeline from a hand-built edge list: K4 has
+    // C(4,3)=4 triangles, each node in exactly 3; a 4-path has none
+    def triangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val e = edges.toDF("pa", "pb")
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
+        .join(e.as("e3"),
+          col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
+        .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(triangles(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+  }
 }
