@@ -359,25 +359,22 @@ object Clean {
   // bounded by the calendar span.
   def minimizeServices(feed: Feed)(implicit spark: SparkSession): Feed = {
     if (!feed.contains("calendar") && !feed.contains("calendar_dates")) return feed
-    // `days` has TWO consumers (the span/mask aggregation and
-    // newCalDates' join). serviceDays' repartition(service_id) pins ONE
-    // identical exchange under both: without it their subtrees
-    // canonicalize DIFFERENTLY and no exchange is ever reused, so the
-    // upstream expansion executes once per consumer (round-7 plan
-    // audit: 6 scans, 1 after the fix — the consumer count dropped
-    // from four to two in round 9 when the mask computation fused into
-    // the span agg). The defensive dropDuplicates below collapses to
-    // an in-partition agg (partitioning already satisfies it) instead
-    // of a second shuffle; every downstream groupBy/join here keys on
-    // service_id, so no consumer shuffles again either.
     val days = Views.serviceDays(feed).select("service_id", "svc_date")
-      .dropDuplicates("service_id", "svc_date")
     // The whole weekly-mask decision folds into ONE aggregation over
-    // `days` plus row-level arithmetic (round-9; previously `possible`
-    // explode + `actual` agg + mask join + coverage re-agg — four
-    // operators and their stages for what a closed form knows):
+    // `days` plus row-level arithmetic:
     //   - per-dow actual counts ride the span agg as 7 conditional
     //     counts;
+    //   - the service's distinct date set itself rides the SAME
+    //     aggregation (collect_set shares the partial-agg pass), so the
+    //     exception-date enumeration below is a row-local explode of
+    //     `enc` — round 9 instead JOINED `days` back against enc, which
+    //     made `days` a two-consumer subtree whose exchange had to be
+    //     pinned and re-read (r10 probe: the join leg alone held the
+    //     query at ~2.3 s steady; this shape runs the days pipeline
+    //     exactly once). Per-group state = one service's distinct
+    //     dates — bounded by its calendar span (GTFS feeds span ≤ a few
+    //     years, ≤ ~1500 entries), a dimension bound, never
+    //     corpus-scale;
     //   - occurrences of weekday dw in [d0, d1] in CLOSED FORM —
     //     first-occurrence offset o = (dw − weekday(d0)) mod 7, then
     //     1 + ⌊(len − 1 − o) / 7⌋ if o < len else 0 — a day-granular
@@ -386,11 +383,16 @@ object Clean {
     //   - mask bit dw = (possible_dw > 0 AND actual_dw = possible_dw):
     //     a dow the span never contains stays out of the mask, exactly
     //     the semantics the old dropped-zero-possible rows encoded.
+    // collect_set also dedups, but serviceDays already emits distinct
+    // (service_id, svc_date) on a service_id partitioning, so the
+    // count/na_* aggregates see deduped rows (they must: a duplicate
+    // date would skew the coverage counts).
     val dowCounts = (0 to 6).map(dw =>
       count(when(expr(s"weekday(svc_date) = $dw"), 1)).as(s"na_$dw"))
     val span = days.groupBy("service_id")
       .agg(min("svc_date").as("d0"),
-        (Seq(max("svc_date").as("d1"), count(lit(1)).as("n_dates")) ++
+        (Seq(max("svc_date").as("d1"), count(lit(1)).as("n_dates"),
+          sort_array(collect_set(col("svc_date"))).as("dates")) ++
           dowCounts): _*)
     val len = datediff(col("d1"), col("d0")) + 1
     def nPossible(dw: Int) = {
@@ -399,15 +401,16 @@ object Clean {
     }
     def inMask(dw: Int) =
       (nPossible(dw) > 0 && col(s"na_$dw") === nPossible(dw)).cast("int")
-    // `enc` has TWO consumers (newCalendar, newCalDates' join) whose
-    // pruned subtrees canonicalize differently (round-8 plan audit:
-    // the mask pipeline appeared twice under a repartition pin). enc
-    // is ONE ROW PER SERVICE — dimension-scale at any corpus size
-    // (services ≪ stop_times) — so materialize it: persist + deferred
-    // unpersist via ops.Releases (the fixpoint's caller-owns-release
-    // pattern; Verify/Bench/Probe/Explain and the import path drain).
+    // `enc` has TWO consumers (newCalendar, newCalDates) whose pruned
+    // subtrees canonicalize differently (round-8 plan audit: the mask
+    // pipeline appeared twice under a repartition pin). enc is ONE ROW
+    // PER SERVICE — dimension-scale at any corpus size (services ≪
+    // stop_times) — so materialize it: persist + deferred unpersist via
+    // ops.Releases (the fixpoint's caller-owns-release pattern;
+    // Verify/Bench/Probe/Explain and the import path drain).
     val enc = span
-      .select(Seq(col("service_id"), col("d0"), col("d1"), col("n_dates")) ++
+      .select(Seq(col("service_id"), col("d0"), col("d1"), col("n_dates"),
+        col("dates")) ++
         (0 to 6).map(dw => inMask(dw).as(s"dow_$dw")) ++
         Seq((0 to 6).map(dw => when(inMask(dw) === 1, col(s"na_$dw"))
           .otherwise(lit(0L))).reduce(_ + _).as("n_covered")): _*)
@@ -426,8 +429,9 @@ object Clean {
         dowNames.zipWithIndex.map { case (n, i) => col(s"dow_$i").as(n) } ++
         Seq(date_format(col("d0"), "yyyyMMdd").as("start_date"),
           date_format(col("d1"), "yyyyMMdd").as("end_date")): _*)
-    val newCalDates = days
-      .join(enc.select("service_id", "use_calendar", "mask_arr"), "service_id")
+    val newCalDates = enc
+      .select(col("service_id"), col("use_calendar"), col("mask_arr"),
+        explode(col("dates")).as("svc_date"))
       .where(!col("use_calendar") ||
         element_at(col("mask_arr"), expr("weekday(svc_date)") + 1) === 0)
       .select(col("service_id"), date_format(col("svc_date"), "yyyyMMdd").as("date"),
