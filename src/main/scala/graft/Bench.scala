@@ -88,7 +88,13 @@ object Bench {
     val fj = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val steadyTotal = results.flatMap(_._3).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}"""
+    // n_ok/n_failed (r9 ADVICE): the totals sum only SUCCESSFUL
+    // queries, so a round with a failing heavy query would otherwise
+    // report a smaller, better-looking total that is silently
+    // incomparable with a clean round's — the counts make partial sums
+    // self-describing.
+    val nOk = results.count(_._2.isDefined)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_failed":${results.length - nOk},"queries":$qs,"steady":$st,"steady_total":$steadyTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

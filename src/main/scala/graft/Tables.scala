@@ -52,17 +52,36 @@ object Tables {
     * the legacy conf) and plain timestamp[us] (read as TIMESTAMP_NTZ).
     * Dispatch on the loaded dtype so either generation yields a session-tz
     * TIMESTAMP column: LongType → floor-divide nanos to micros (matches
-    * DuckDB's ns→s/date truncation); (N)TZ timestamp → cast passthrough
-    * (session tz is UTC, so NTZ→TZ is value-identical). */
+    * DuckDB's ns→s/date truncation); NTZ timestamp → cast (session tz is
+    * UTC, so NTZ→TZ is value-identical). The dispatch is STRICT (r9
+    * ADVICE): testdata has drifted once already, so an unrecognized
+    * dtype throws at load and a LongType value outside the plausible
+    * nanos epoch range (1990..2100) raises at scan time — a
+    * micros-encoded int64 generation must fail loudly, not be silently
+    * divided by 1000 into 1970. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType =>
+        // 1990-01-01 / 2100-01-01 as epoch nanos
+        val loNanos = 631152000000000000L
+        val hiNanos = 4102444800000000000L
+        raw.withColumn("ts", timestamp_micros(
+          when(col("ts").between(loNanos, hiNanos), expr("ts div 1000"))
+            .otherwise(expr(
+              "raise_error(concat('events.ts: int64 value ', ts, " +
+                "' is outside the plausible nanos epoch range — " +
+                "re-check the testdata encoding'))").cast(LongType))))
       case TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unexpected parquet dtype ${other.catalogString} — " +
+          "known generations are TIMESTAMP(NANOS) (read as long) and " +
+          "timestamp[us]; add an explicit dispatch branch for the new " +
+          "encoding rather than guessing")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

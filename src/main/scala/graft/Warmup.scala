@@ -176,8 +176,8 @@ object Warmup {
         // here — warmup must stay side-effect free
         graft.ops.Releases.drain()
       }
-      // q22 PageRank loop shapes (window out-degree, persisted edge
-      // relation, 3× join + integer-div agg) on a toy graph — r9 bench
+      // q22 PageRank loop shapes (groupBy+join out-degree, persisted
+      // edge relation, 3× join + integer-div agg) on a toy graph — r9 bench
       // medians showed 6.4 s first vs 3.4 s steady, the largest
       // first-iteration gap in the suite. Broadcast OFF for the warm:
       // the toy side always broadcasts, but the real 119k-edge loop

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -114,11 +114,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("ngram_hashes"),
       new ExpressionInfo(classOf[NgramHashesExpr].getName, "ngram_hashes"),
-      arity("ngram_hashes", 2) {
-        case Seq(words, Literal(n: Int, _)) => NgramHashesExpr(words, n)
-        case _ => throw new IllegalArgumentException(
-          "usage: ngram_hashes(array<string>, <int literal>)")
-      }))
+      arity("ngram_hashes", 2)(NgramHashes.builder)))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCountExpr].getName,
+        "sorted_intersect_count"),
+      arity("sorted_intersect_count", 2)(SortedIntersect.builder)))
     // logical rewrite: inequality range joins -> bucketized equi joins
     // (opt-in via spark.graft.rangeJoin.bucketWidth; see the rule's doc)
     ext.injectOptimizerRule(session =>

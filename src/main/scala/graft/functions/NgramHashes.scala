@@ -90,13 +90,20 @@ object NgramHashes {
       if (u + 1 == m) out else java.util.Arrays.copyOf(out, u + 1))
   }
 
-  /** Register `ngram_hashes` into an existing session (second arg must
-    * be an integer literal — it is a structural parameter, not data). */
+  /** Shared builder for both registration paths (register() below and
+    * GraftExtensions.injectFunction) — ONE place for the literal-n rule
+    * so the two cannot drift (r9 ADVICE). n must be an integer LITERAL:
+    * it is a structural parameter, not data (a foldable-but-non-Literal
+    * n like `CAST(8 AS INT)` is rejected with the same usage error —
+    * fold it before calling). */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(words, Literal(n: Int, _)) => NgramHashesExpr(words, n)
+    case _ => throw new IllegalArgumentException(
+      "usage: ngram_hashes(array<string>, <int literal>)")
+  }
+
+  /** Register `ngram_hashes` into an existing session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngram_hashes", (children: Seq[Expression]) => children match {
-        case Seq(words, Literal(n: Int, _)) => NgramHashesExpr(words, n)
-        case _ => throw new IllegalArgumentException(
-          "usage: ngram_hashes(array<string>, <int literal>)")
-      }, "built-in")
+      "ngram_hashes", builder, "built-in")
 }

@@ -320,13 +320,24 @@ object Warehouse {
         |SELECT node, pr AS pr3 FROM r3 ORDER BY node
         |"""
       }) { (s, d) =>
+      // Node ids are LONGS inside the loop (custkey→2k, suppkey→2k+1 —
+      // the key spaces are disjoint by parity), decoded to the oracle's
+      // 'c…'/'s…' strings only on the final one-row-per-node output:
+      // every shuffle, join probe, and aggregation key in the 3× loop
+      // hashes an 8-byte long instead of building + hashing a string
+      // per edge row (r10 probe: the string-keyed loop held steady at
+      // ~3.1 s; long keys + deg-reuse cut it to ~1.7 s).
       val eo = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       pagerank3(eo)
+        .select(when(col("node") % 2 === 0,
+            concat(lit("c"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("node div 2"))).as("node"),
+          col("pr3"))
     },
 
     // Connected components to an exact FIXPOINT over a sparse
@@ -352,6 +363,14 @@ object Warehouse {
              |  FROM edges e JOIN $prev r ON e.src = r.node
              |  GROUP BY e.dst
              |)""".stripMargin
+        // DIAMETER ASSUMPTION (kept in sync with the scaladoc above):
+        // 20 chained rounds ≥ the graph's observed diameter (≤14 at
+        // both verify SFs; min-label propagation is idempotent past
+        // convergence). The Spark side runs to an EXACT fixpoint
+        // (Components.run, maxIterations 50, throws if unconverged) —
+        // so if a regenerated testdata graph ever exceeds diameter 20,
+        // it is THIS ORACLE that is wrong, not the engine: raise the
+        // chain length first when debugging a q23 verify mismatch.
         val chain = (0 until 20)
           .map(i => iter(s"r$i", s"r${i + 1}")).mkString(", ")
         s"""
@@ -386,16 +405,15 @@ object Warehouse {
     // Triangle counting over the high-quantity co-purchase graph
     // (parts appearing together in an order), the third graph-analytic
     // class next to PageRank (iterative) and components (fixpoint):
-    // a bounded multi-way self-join. Edges are oriented a < b so each
-    // triangle materializes exactly once as a<b<c — the standard
-    // exactly-once enumeration; at scale the orientation knob is
-    // BY DEGREE (low-degree node first), which bounds the wedge
-    // fan-out per node by sqrt(|E|) on skewed graphs (the id
-    // orientation is the readable default and the testdata graph is
-    // near-uniform). Wedge build joins on the shared middle vertex,
-    // the closing join is an equi join on BOTH endpoints — no
-    // inequality-join fallback anywhere. Per-node counts unpivot the
-    // three corners through one explode.
+    // a bounded multi-way self-join. Edges are oriented BY DEGREE
+    // (low-degree endpoint first, id tie-break — see orientByDegree),
+    // which totally orders the nodes, so each triangle materializes
+    // exactly once as the path a→b→c closed by a→c. The orientation is
+    // internal: per-node corner counts are orientation-invariant, so
+    // the oracle enumerates via the plain id order. Wedge build joins
+    // on the shared middle vertex, the closing join is an equi join on
+    // BOTH endpoints — no inequality-join fallback anywhere. Per-node
+    // counts unpivot the three corners through one explode.
     "q24_triangles" -> QueryDef(
       doc = "per-part triangle counts in the high-quantity co-purchase graph",
       oracle = """
@@ -420,47 +438,138 @@ object Warehouse {
         .where(col("l_quantity") >= 45)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      // edge list persists: it is all three join operands, and
-      // recomputing the per-order pairing twice more would triple the
-      // scan+pair cost (released at the caller's drain)
-      val e = li.as("a").join(li.as("b"),
+      // undirected edge list: feeds the degree aggregation AND the
+      // orientation join. NOT persisted — both consumers sit above the
+      // distinct's identical hashpartitioning(pa, pb) exchange, so the
+      // scan+pair pipeline runs once and the second consumer is a
+      // ReusedExchange read (a persist here was measured SLOWER: an
+      // extra materialization barrier + cache write for rows the
+      // shuffle files already hold)
+      val und = li.as("a").join(li.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("pa"), col("b.p").as("pb"))
         .distinct()
+      // oriented edge list persists: it is all three triangle-join
+      // operands
+      val e = orientByDegree(und)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ops.Releases.defer(() => { e.unpersist(false); () })
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
-        .join(e.as("e3"),
-          col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
-        .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
-      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      trianglesOriented(e)
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     },
   )
 
+  /** q24's skew knob (r9 VERDICT #3): orient each undirected edge
+    * low-degree-endpoint-first, id tie-break. Input is one row per
+    * undirected edge with `pa < pb`; output is `(src, dst)` where src
+    * precedes dst in the total order (degree, id). Under this
+    * orientation every node's OUT-degree is bounded by O(√|E|) — a node
+    * of degree d > √(2|E|) cannot have d neighbors of degree ≥ its own —
+    * so the wedge fan-out per middle vertex (in×out) stays sub-quadratic
+    * on power-law graphs, where the id orientation lets a hub explode
+    * O(deg²) wedges (WarehouseSpec pins the star-graph collapse).
+    * Degree is a groupBy+join (never a window): AQE skew-splits the
+    * probe side on the hub keys. */
+  private[graft] def orientByDegree(und: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val deg = und.select(col("pa").as("n"))
+      .unionByName(und.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    und
+      .join(deg.select(col("n").as("pa"), col("dg").as("da")), Seq("pa"))
+      .join(deg.select(col("n").as("pb"), col("dg").as("db")), Seq("pb"))
+      .select(when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
+        when(aFirst, col("pb")).otherwise(col("pa")).as("dst"))
+  }
+
+  /** Exactly-once triangle enumeration over an acyclically oriented
+    * edge list: wedges a→b→c (join on the shared middle vertex b),
+    * closed by the a→c edge — an equi join on BOTH endpoints. Returns
+    * one row (a, b, c) per triangle. Factored so WarehouseSpec can
+    * count wedges/triangles on hand-built graphs. */
+  private[graft] def trianglesOriented(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+
+  /** The wedge (open-path) set of an oriented edge list — the
+    * intermediate whose size the orientation bounds; exposed for the
+    * WarehouseSpec star-graph case. */
+  private[graft] def wedgesOriented(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    e.as("e1").join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+
   /** The q22 loop from a distinct `(src, dst)` edge frame onward:
-    * symmetrize, decorate with out-degree (window, not a join), persist
-    * the loop-invariant edge set (released at the caller's drain), run
-    * 3 integer-ppm PageRank iterations — one join+agg shuffle each.
-    * Factored out of the QueryDef so Warmup can compile the loop's
-    * exact plan shapes on a toy graph (the c8Summary pattern: the
-    * per-iteration join+agg codegen otherwise lands in the first timed
-    * bench row — r9 bench medians: 6.4 s first vs 3.4 s steady). */
+    * symmetrize, decorate with out-degree, persist the loop-invariant
+    * edge set (released at the caller's drain), run 3 integer-ppm
+    * PageRank iterations — one join+agg shuffle each. Factored out of
+    * the QueryDef so Warmup can compile the loop's exact plan shapes on
+    * a toy graph (the c8Summary pattern: the per-iteration join+agg
+    * codegen otherwise lands in the first timed bench row — r9 bench
+    * medians: 6.4 s first vs 3.4 s steady).
+    *
+    * Degree is groupBy(src)+count joined back, NOT
+    * `count().over(Window.partitionBy(src))`: the window forces a
+    * per-key SORT of the full edge list and — unlike joins — gets no
+    * AQE skew splitting, so on a power-law graph the hub key becomes a
+    * single-task straggler (r9 VERDICT #2). The join formulation
+    * partial-aggregates map-side, AQE skew-splits the probe side, and
+    * the two hashpartitioning(src) exchanges (agg input + join left)
+    * are identical subtrees, so the symmetrized edge scan shuffles
+    * once (ReusedExchange — verified via Explain -run). */
   private[graft] def pagerank3(eo: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // The loop-invariant edge state persists PRE-PARTITIONED AND
+    // PRE-SORTED on src: every iteration's edges⋈contrib join then
+    // needs no exchange and no sort on the |E|-sized side — the cached
+    // layout satisfies the SortMergeJoin's distribution+ordering
+    // requirement, so the only per-iteration data movement is the
+    // |V|-sized contrib relation (executed-plan audit: without this the
+    // cached edge list was re-shuffled AND re-sorted in all 3
+    // iterations — the whole-query dominant cost). This is the
+    // partitioning-reuse play that holds at any scale; broadcasting
+    // contrib instead would NOT (it is |V|-sized, unbounded).
     val edge0 = eo.unionByName(
       eo.select(col("dst").as("src"), col("src").as("dst")))
-    val edges = edge0.withColumn("deg",
-      count(lit(1)).over(Window.partitionBy("src")))
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.ops.Releases.defer(() => { edges.unpersist(false); () })
-    var pr = edges.select(col("src").as("node")).distinct()
-      .withColumn("pr", lit(1000000L))
+    graft.ops.Releases.defer(() => { edge0.unpersist(false); () })
+    // deg persists separately: it IS the node table (one row per node —
+    // the symmetrized edge set has no dangling nodes), so the rank
+    // initialization reads it instead of re-shuffling the full edge
+    // list through a distinct(). Keeping deg OFF the edge rows also
+    // means the loop never joins the |E|-sized relation against deg:
+    // per-node contribution pr/deg is computed on the |V|-sized rank
+    // table first, and only that small (node, contrib) relation joins
+    // the raw edge list — |V| ≪ |E| on any real graph, so AQE
+    // broadcasts it and each iteration is one map-side probe over the
+    // cached edges plus one partially-aggregated shuffle of ≤ |V| rows
+    // per partition. (The previous shape decorated every edge row with
+    // its degree via an |E|-sized join before the loop — measured
+    // ~1 s slower at sf0.1 and strictly more shuffled bytes at scale.)
+    val deg = edge0.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Releases.defer(() => { deg.unpersist(false); () })
+    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {
-      pr = edges.join(pr, edges("src") === pr("node"))
+      // csrc is a FRESH attribute (pr and contrib both descend from
+      // deg/edge0 — qualified aliases + re-aliased join keys keep every
+      // self-join unambiguous)
+      val contrib = pr.as("r").join(deg.as("g"), col("r.node") === col("g.src"))
+        .select(col("g.src").as("csrc"), expr("pr div deg").as("contrib"))
+      pr = edge0.join(contrib, edge0("src") === contrib("csrc"))
         .groupBy(col("dst").as("node"))
-        .agg(expr("150000 + (85 * sum(pr div deg)) div 100").as("pr"))
+        .agg(expr("150000 + (85 * sum(contrib)) div 100").as("pr"))
     }
     pr.select(col("node"), col("pr").as("pr3"))
   }

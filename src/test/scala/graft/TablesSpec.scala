@@ -61,4 +61,33 @@ class TablesSpec extends SparkSpec {
       assert(got == micros, s"$d: expected $micros, got $got")
     }
   }
+
+  // r9 ADVICE: the dispatch must FAIL LOUDLY on the encodings it does
+  // not know, instead of casting whatever shows up (the silent-plausible
+  // failure mode after the next testdata drift).
+  test("events loader throws on unknown dtypes and out-of-range longs") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val base = java.nio.file.Files.createTempDirectory("tables-events-bad").toString
+    def schema(tsType: DataType) = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType)))
+    // a string-encoded ts generation must be rejected at load time
+    val strDir = s"$base/str"
+    spark.createDataFrame(
+      java.util.List.of(Row(1L, "2024-08-12T22:40:00Z")), schema(StringType))
+      .write.parquet(s"$strDir/events.parquet")
+    val e = intercept[IllegalArgumentException] { Tables.events(spark, strDir) }
+    assert(e.getMessage.contains("unexpected parquet dtype"), e.getMessage)
+    // a micros-encoded int64 generation (values ~1e15, far below the
+    // nanos epoch range) must raise at scan, not be divided into 1970
+    val microsDir = s"$base/micros"
+    spark.createDataFrame(
+      java.util.List.of(Row(1L, 1723500000123456L)), schema(LongType))
+      .write.parquet(s"$microsDir/events.parquet")
+    val e2 = intercept[Exception] {
+      Tables.events(spark, microsDir).select(col("ts")).collect()
+    }
+    assert(e2.getMessage.contains("nanos epoch range"), e2.getMessage)
+  }
 }

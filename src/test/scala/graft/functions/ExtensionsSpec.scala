@@ -35,6 +35,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(s.sql(
         "SELECT size(ngram_hashes(split('a b c d', ' '), 2)) AS v")
         .head().getInt(0) == 3)
+      assert(s.sql(
+        "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS v")
+        .head().getInt(0) == 2)
       // wrong arity → clear message, not a Catalyst internal error
       val e = intercept[Exception] { s.sql("SELECT l2_sq(array(1.0D))").collect() }
       assert(e.getMessage.contains("l2_sq expects 2"), e.getMessage)

@@ -126,21 +126,51 @@ class WarehouseSpec extends SparkSpec {
   }
 
   test("q24 triangle enumeration: K4 yields 3 triangles per node, path graphs none") {
-    // mirror the query's pipeline from a hand-built edge list: K4 has
-    // C(4,3)=4 triangles, each node in exactly 3; a 4-path has none
+    // mirror the query's pipeline from a hand-built undirected edge
+    // list (pa < pb): K4 has C(4,3)=4 triangles, each node in exactly
+    // 3; a 4-path has none
     def triangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
-      val e = edges.toDF("pa", "pb")
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
-        .join(e.as("e3"),
-          col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
-        .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
-      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      val e = Warehouse.orientByDegree(edges.toDF("pa", "pb"))
+      Warehouse.trianglesOriented(e)
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n"))
         .as[(Long, Long)].collect().toMap
     }
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     assert(triangles(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
     assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+  }
+
+  test("q24 orientation: degree orientation collapses the star-hub wedge blowup") {
+    // star with the hub id in the MIDDLE of the leaf ids: under the id
+    // orientation half the edges enter the hub and half leave it, so
+    // the wedge join fans out 50×50 = 2500 rows through the hub. Under
+    // the by-degree orientation every edge points leaf→hub (leaf degree
+    // 1 < hub degree 100), the hub has out-degree 0, and the wedge set
+    // is EMPTY — O(deg²) collapsed to 0 (O(n) in general). Triangle
+    // counts are orientation-invariant (a star has none).
+    val hub = 50L
+    val und = (0L to 100L).filter(_ != hub)
+      .map(l => if (l < hub) (l, hub) else (hub, l)).toDF("pa", "pb")
+    val idOriented = und.select(col("pa").as("src"), col("pb").as("dst"))
+    assert(Warehouse.wedgesOriented(idOriented).count() == 2500L)
+    val degOriented = Warehouse.orientByDegree(und)
+    assert(Warehouse.wedgesOriented(degOriented).count() == 0L)
+    assert(Warehouse.trianglesOriented(degOriented).count() == 0L)
+    // orientation is a permutation of the edge set: every undirected
+    // edge survives exactly once
+    assert(degOriented.count() == 100L)
+    // and on a graph WITH triangles the per-node counts are unchanged
+    // by the orientation choice: K4 plus a pendant leaf (degrees 3,3,3,4,1)
+    val k4p = ((for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)) :+ (4L, 5L))
+      .toDF("pa", "pb")
+    val byId = Warehouse.trianglesOriented(
+      k4p.select(col("pa").as("src"), col("pb").as("dst")))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").count().as[(Long, Long)].collect().toMap
+    val byDeg = Warehouse.trianglesOriented(Warehouse.orientByDegree(k4p))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").count().as[(Long, Long)].collect().toMap
+    assert(byId == byDeg && byDeg == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 }
