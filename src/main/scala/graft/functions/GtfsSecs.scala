@@ -120,6 +120,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCountExpr].getName,
         "sorted_intersect_count"),
       arity("sorted_intersect_count", 2)(SortedIntersect.builder)))
+    ext.injectFunction((
+      FunctionIdentifier("sha256_chunks"),
+      new ExpressionInfo(classOf[Sha256ChunksExpr].getName, "sha256_chunks"),
+      arity("sha256_chunks", 1)(Sha256Chunks.builder)))
     // logical rewrite: inequality range joins -> bucketized equi joins
     // (opt-in via spark.graft.rangeJoin.bucketWidth; see the rule's doc)
     ext.injectOptimizerRule(session =>

@@ -120,14 +120,20 @@ object Events {
         |  ON a.pk = b.pk AND a.lid < b.lid AND a.s < b.e AND b.s < a.e
         |GROUP BY 1 ORDER BY 1
         |""") { (s, d) =>
-      def side(suffix: String) = Tables.lineitem(s, d).select(
-        (col("l_orderkey") * 10 + col("l_linenumber")).as(s"lid$suffix"),
+      // ONE side build: intervalSelfOverlap aliases the same plan for
+      // both join sides, so the scan+explode shuffle runs once and the
+      // probe is a ReusedExchange read (the two-projection formulation
+      // paid it twice). Width 64 ≥ the max 50-day span; re-swept post
+      // r9 GC fix at sf0.1 AND sf1 (7/16/64/128/256): 64 is the sf0.1
+      // optimum and within noise of the sf1 one (SCALE.md).
+      val side = Tables.lineitem(s, d).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("lid"),
         col("l_partkey").as("pk"),
-        (epochS(col("l_shipdate")) / 86400).cast("long").as(s"s$suffix"),
+        (epochS(col("l_shipdate")) / 86400).cast("long").as("s"),
         ((epochS(col("l_shipdate")) / 86400).cast("long")
-          + col("l_quantity").cast("long")).as(s"e$suffix"))
-      graft.ops.Ranges.intervalOverlap(side("_a"), side("_b"), Seq("pk"),
-          "s_a", "e_a", "s_b", "e_b", bucketWidth = 64L)
+          + col("l_quantity").cast("long")).as("e"))
+      graft.ops.Ranges.intervalSelfOverlap(side, Seq("pk"), "s", "e",
+          bucketWidth = 64L)
         .where(col("lid_a") < col("lid_b"))
         .groupBy(col("pk").as("l_partkey"))
         .agg(count(lit(1)).as("n_pairs"))

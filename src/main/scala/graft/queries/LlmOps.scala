@@ -143,12 +143,20 @@ object LlmOps {
     * fewer pass.) */
   private def minhashSigs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    graft.functions.Sha256Chunks.register(docs.sparkSession)
+    // ONE digest per shingle via the native sha256_chunks (bit-identical
+    // to the conv(substring(sha2...)) formulation and to the DuckDB
+    // oracle's '0x'||substr parse — see the expression's scaladoc); the
+    // digest evaluates in THIS projection, below the aggregation, so
+    // the 8 minima read plain array elements (r10 probe: the 8×
+    // hex-substring+conv path held the signature agg at ~1.0 s steady
+    // at sf0.1, the chunked path runs it at ~0.5 s).
     val shing = fanout(
       docs.select(col("doc_id"), explode(shingles(col("toks"))).as("sh")),
       col("doc_id"), col("sh"))
+      .select(col("doc_id"), expr("sha256_chunks(sh)").as("ch"))
     val mhAggs = (0 until 8).map(j =>
-      min(conv(substring(sha2(col("sh"), 256), 1 + 8 * j, 8), 16, 10)
-        .cast("long")).as(s"h$j"))
+      min(element_at(col("ch"), j + 1)).as(s"h$j"))
     shing.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
   }
 
@@ -1577,11 +1585,18 @@ object LlmOps {
         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.si, b.si)) <= 3
         |ORDER BY doc_a, doc_b
         |""") { (s, d) =>
+      graft.functions.Sha256Chunks.register(s)
+      // 60-bit token hash = top 60 digest bits, recombined from the
+      // native chunk longs ((c0 << 28) | (c1 >> 4) — disjoint bit
+      // ranges, so + is |); bit-identical to the oracle's
+      // '0x'||substr(sha256(t),1,15) parse, without the hex round trip
+      // per token row. The two chunk references share one digest via
+      // codegen subexpression elimination (same projection).
       val toks = corpus(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .select(col("doc_id"),
-          conv(substring(sha2(col("t"), 256), 1, 15), 16, 10)
-            .cast("long").as("hv"))
+          expr("shiftleft(element_at(sha256_chunks(t), 1), 28) + " +
+            "shiftright(element_at(sha256_chunks(t), 2), 4)").as("hv"))
       // one aggregate expression per bit; sha2/conv shared across all 60
       // by subexpression elimination in the partial aggregate
       val siTerms = (0 until 60).map { j =>

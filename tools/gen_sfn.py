@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Scale-sweep data generator: an N-fold key-shifted replication of an
+existing testdata dir (default sf0.1 x10 ~= sf1), for PERF sweeps only
+(no oracle runs against it).
+
+Usage: python3 tools/gen_sfn.py [srcDir] [dstDir] [replicas]
+
+Design (why not a naive row copy): every key column is shifted by a
+replica-specific offset so joins and group-bys stay within a replica --
+row counts, join fan-outs, group sizes and graph structure all scale
+LINEARLY with the replica count, which is the property a scale sweep
+measures. Two content perturbations keep similarity workloads honest:
+
+- documents.text: every word is prefixed with the replica number
+  (replica 0 keeps the original), so shingle/MinHash/SimHash candidate
+  generation never collides ACROSS replicas -- a naive text copy puts 10
+  identical docs in every LSH bucket and the pair space grows ~100x,
+  which would misread as superlinear engine behavior.
+- embeddings.embedding: dimensions are rotated by the replica number
+  (np.roll), decorrelating replicas while preserving norms and the
+  within-replica neighbor structure, for the same reason.
+
+region/nation are fixed dimensions and are copied as-is.
+"""
+import sys, os
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graftdata/sf1"
+n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(dst, exist_ok=True)
+con = duckdb.connect()
+con.sql(f"SET threads TO {os.cpu_count()}")
+
+# key spaces (all >> max key in sf0.1; doc shift stays clear of the
+# +1_000_000 perturbed-copy band the llm corpus() helper adds)
+OK, CK, SK, PK, DK, EK, VK = (10**7, 10**6, 10**5, 10**6, 10**7, 10**7, 10**6)
+
+def gen(table, sql):
+    out = f"{dst}/{table}.parquet"
+    con.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+    rows = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+    print(f"{table:12s} {rows:>10,} rows -> {out}")
+
+R = f"range({n}) t(r)"
+
+for tbl in ("region", "nation"):
+    gen(tbl, f"SELECT * FROM '{src}/{tbl}.parquet'")
+
+gen("customer", f"""
+  SELECT c_custkey + r*{CK} AS c_custkey, c_name, c_nationkey, c_acctbal,
+         c_mktsegment
+  FROM '{src}/customer.parquet', {R}""")
+
+gen("supplier", f"""
+  SELECT s_suppkey + r*{SK} AS s_suppkey, s_name, s_nationkey, s_acctbal
+  FROM '{src}/supplier.parquet', {R}""")
+
+gen("part", f"""
+  SELECT p_partkey + r*{PK} AS p_partkey, p_name, p_brand, p_type, p_size,
+         p_retailprice
+  FROM '{src}/part.parquet', {R}""")
+
+gen("orders", f"""
+  SELECT o_orderkey + r*{OK} AS o_orderkey, o_custkey + r*{CK} AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM '{src}/orders.parquet', {R}""")
+
+gen("lineitem", f"""
+  SELECT l_orderkey + r*{OK} AS l_orderkey, l_partkey + r*{PK} AS l_partkey,
+         l_suppkey + r*{SK} AS l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+         l_shipdate
+  FROM '{src}/lineitem.parquet', {R}""")
+
+gen("events", f"""
+  SELECT event_id + r*{EK} AS event_id, ts, user_id + r*{CK} AS user_id,
+         event_type, value, props
+  FROM '{src}/events.parquet', {R}""")
+
+gen("documents", f"""
+  SELECT doc_id + r*{DK} AS doc_id,
+         CASE WHEN r = 0 THEN text
+              ELSE array_to_string(
+                [CAST(r AS VARCHAR) || w FOR w IN string_split(text, ' ')], ' ')
+         END AS text,
+         lang, source,
+         CAST(length(CASE WHEN r = 0 THEN text
+              ELSE array_to_string(
+                [CAST(r AS VARCHAR) || w FOR w IN string_split(text, ' ')], ' ')
+         END) AS BIGINT) AS n_chars
+  FROM '{src}/documents.parquet', {R}""")
+
+gen("embeddings", f"""
+  SELECT vec_id + r*{VK} AS vec_id,
+         (embedding[(r % len(embedding)) + 1:] || embedding[1:(r % len(embedding))])
+           ::FLOAT[] AS embedding,
+         label
+  FROM '{src}/embeddings.parquet', {R}""")
+
+print("done")
