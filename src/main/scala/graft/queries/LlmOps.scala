@@ -1988,31 +1988,56 @@ object LlmOps {
     // scan+explode).
     "llm_lm_score" -> QueryDef(
       doc = "add-one bigram LM quality score per doc (integer-ppm CCNet-style filter)",
-      oracle = """
-        |WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |), bg AS (
-        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-        |  FROM w, unnest(range(1, len(ws))) AS t(i)
-        |  WHERE len(ws) >= 2
-        |), c2 AS (
-        |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
-        |), c1 AS (
-        |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
-        |), v AS (
-        |  SELECT count(DISTINCT tk) AS v FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
-        |)
-        |SELECT bg.doc_id,
-        |       count(*) AS n_bigrams,
-        |       CAST(sum((c2.c2 + 1) * 1000000 // (c1.c1 + v.v)) // count(*)
-        |            AS BIGINT) AS avg_prob_ppm
-        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-        |GROUP BY 1 ORDER BY 1
-        |""") { (s, d) =>
+      oracle = lmScoreOracleSql) { (s, d) =>
       lmScore(Tables.documents(s, d))
     },
+
+    // Driver-checked green row for the STREAMING scorer (r9 VERDICT
+    // "Next round" #8): lmScoreStream's plan is STATELESS — broadcast
+    // model maps + per-row higher-order transforms, no streaming
+    // aggregation — so the exact transformation the stream executes
+    // per micro-batch also runs as a batch DataFrame. Scoring the
+    // corpus against its OWN published model reproduces batch
+    // llm_lm_score row-for-row (the add-one OOV floor never fires on
+    // in-model text), so the oracle is the SAME SQL: the driver now
+    // hash-checks the streaming scorer's ppm arithmetic end-to-end,
+    // complementing StreamBatchEquivSpec's harness-level runs.
+    "stream_lm_score" -> QueryDef(
+      doc = "the streaming LM scorer's stateless plan, driver-checked in batch",
+      oracle = lmScoreOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val (c2, c1, v) = lmModel(docs)
+      graft.streaming.Streams.lmScoreStream(docs, c2, c1, v)
+    },
   )
+
+  /** Shared by `llm_lm_score` (batch pipeline) and `stream_lm_score`
+    * (the streaming scorer's plan run in batch): both must reproduce
+    * the same add-one-smoothed integer-ppm scores. (A def, not a val:
+    * it is referenced from the `defs` map ABOVE its definition, and an
+    * object's vals initialize in declaration order.) */
+  private def lmScoreOracleSql = """
+    |WITH w AS (
+    |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    |), bg AS (
+    |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+    |  FROM w, unnest(range(1, len(ws))) AS t(i)
+    |  WHERE len(ws) >= 2
+    |), c2 AS (
+    |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+    |), c1 AS (
+    |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+    |), v AS (
+    |  SELECT count(DISTINCT tk) AS v FROM (
+    |    SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
+    |)
+    |SELECT bg.doc_id,
+    |       count(*) AS n_bigrams,
+    |       CAST(sum((c2.c2 + 1) * 1000000 // (c1.c1 + v.v)) // count(*)
+    |            AS BIGINT) AS avg_prob_ppm
+    |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    |GROUP BY 1 ORDER BY 1
+    |"""
 
   /** The llm_lm_score pipeline from a `(doc_id, text)` frame onward.
     * Factored out of the QueryDef so Warmup can compile the exact plan
