@@ -1406,6 +1406,51 @@ object LlmOps {
     // bins via a running token sum — shard-local (here: per language)
     // exactly as production packs per input shard; the window partitions
     // on a bounded stratum, never a global order.
+    // Deterministic corpus shuffle + shard assignment — the training
+    // EXPORT step: every epoch-order pipeline (Megatron/T5-style data
+    // loaders) wants the corpus split into N shard files whose
+    // CONTENTS and ORDER are a pure function of the data, never of the
+    // job's partitioning or execution order. Shard = portable 60-bit
+    // sha256 hash mod N (the same engine-portable hash simhash_pairs
+    // uses — reproducible across engines, reruns, and cluster sizes);
+    // within-shard position = rank by (hash, doc_id). Scale: N is the
+    // output-file-count knob (thousands at 100 TB, 8 here) and the
+    // per-shard window IS the export's per-file sort — each partition
+    // holds exactly one output file's rows (corpus/N, bounded by the
+    // target file size), which is the one place a full per-key sort is
+    // the specified semantics rather than an accident; the physical
+    // plan is the same repartition-by-shard + sortWithinPartitions an
+    // actual partitioned write would run.
+    "llm_shuffle_shards" -> QueryDef(
+      doc = "deterministic shuffle + N-shard assignment with in-shard order (training export)",
+      oracle = """
+        |WITH h AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |         CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) AS hv
+        |  FROM documents
+        |)
+        |SELECT doc_id, hv % 8 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+        |            AS BIGINT) AS pos,
+        |       CAST(n_tok AS BIGINT) AS n_tok
+        |FROM h ORDER BY doc_id
+        |""") { (s, d) =>
+      graft.functions.Sha256Chunks.register(s)
+      val hv = expr(
+        "shiftleft(element_at(sha256_chunks(cast(doc_id as string)), 1), 28) + " +
+          "shiftright(element_at(sha256_chunks(cast(doc_id as string)), 2), 4)")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          hv.as("hv"))
+        .withColumn("shard", pmod(col("hv"), lit(8L)))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("shard").orderBy("hv", "doc_id"))
+            .cast("long"))
+        .select("doc_id", "shard", "pos", "n_tok")
+    },
+
     "llm_pack_sequences" -> QueryDef(
       doc = "token-budget sequence packing via per-stratum running sum",
       oracle = """
