@@ -1406,6 +1406,68 @@ object LlmOps {
     // bins via a running token sum — shard-local (here: per language)
     // exactly as production packs per input shard; the window partitions
     // on a bounded stratum, never a global order.
+    // BM25-family keyword retrieval, top-k: the query-side twin of
+    // llm_inverted_index / llm_tfidf_terms (index mechanics without a
+    // ranking operator leave retrieval unfinished). Scoring is the
+    // k1=1.2 / b=0.75 BM25 shape in INTEGER fixed-point — idf and the
+    // length norm as ppm/milli ratios with truncating div, the same
+    // engine-portability rule as lm_score/pagerank (a float log-idf
+    // would diverge across engines in the last ulp; the integer idf
+    // proxy (N−df+1)/(df+1) preserves the df ordering, which is what
+    // ranking needs). Scale: query terms are a bounded literal list
+    // (broadcast); tf is a (doc, term) aggregation with map-side
+    // combine over only the matching token rows (the isin filter rides
+    // the scan); df aggregates the tf table (≤ docs × |Q| rows); the
+    // top-k is a TakeOrdered — no global sort materializes.
+    "llm_bm25_topk" -> QueryDef(
+      doc = "BM25 (integer fixed-point) keyword retrieval, top-10 docs",
+      oracle = """
+        |WITH lens AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents
+        |), stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(len) * 1000 // count(*) AS BIGINT) AS avg_milli
+        |  FROM lens
+        |), tf AS (
+        |  SELECT doc_id, tk, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+        |  WHERE tk IN ('spark', 'hash', 'vector')
+        |  GROUP BY 1, 2
+        |), df AS (
+        |  SELECT tk, count(*) AS df FROM tf GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(sum(
+        |         (((n_docs - df.df + 1) * 1000000 // (df.df + 1)) * tf.tf * 2200)
+        |         // (tf.tf * 1000 + (1200 * (250 + (750 * len * 1000) // avg_milli)) // 1000)
+        |       ) AS BIGINT) AS score_ppm
+        |FROM tf JOIN df USING (tk) JOIN lens USING (doc_id) CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY score_ppm DESC, doc_id
+        |LIMIT 10
+        |""") { (s, d) =>
+      val terms = Seq("spark", "hash", "vector")
+      val docs = Tables.documents(s, d)
+      val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"),
+        expr("sum(len) * 1000 div count(1)").as("avg_milli"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+        .where(col("tk").isin(terms: _*))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("tk"))
+        .join(lens, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), expr(
+          "(((n_docs - df + 1) * 1000000 div (df + 1)) * tf * 2200)" +
+            " div (tf * 1000 + (1200 * (250 + (750 * len * 1000) div avg_milli)) div 1000)")
+          .as("s"))
+        .groupBy("doc_id").agg(sum("s").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // Deterministic corpus shuffle + shard assignment — the training
     // EXPORT step: every epoch-order pipeline (Megatron/T5-style data
     // loaders) wants the corpus split into N shard files whose
