@@ -157,9 +157,17 @@ object Streams {
     * the add-one floor ((0+1)·1e6 // (0+V)), so scoring a corpus with
     * its OWN published counts reproduces batch llm_lm_score
     * row-for-row (StreamBatchEquivSpec) while unseen ingest text still
-    * scores sensibly. For models too large for one broadcast row, swap
-    * the map join for a stream-static equi join on the bigram key —
-    * same counts, per-batch shuffle instead of broadcast. */
+    * scores sensibly. MODEL-SIZE CLIFF (measured r10): Spark map
+    * lookups are O(|map|) linear scans per element (GetMapValue has no
+    * hash index), so per-row scoring costs instances × |model|
+    * comparisons — 8.5 s for a 2.5k-bigram model × 500k instances at
+    * sf0.1 where the join-shaped batch plan takes 0.9 s. The map form
+    * is right for the deployment shape (a trickle of arriving docs,
+    * curated model); for models beyond a few thousand entries or
+    * replay-scale input, swap the map join for a stream-static equi
+    * join on the bigram key — same counts, per-batch shuffle instead
+    * of broadcast (the per-doc mean then needs a watermarked streaming
+    * aggregation, which is the price of the big-model path). */
   def lmScoreStream(docs: DataFrame, c2: DataFrame, c1: DataFrame,
       v: Long): DataFrame = {
     val m2 = broadcast(c2.agg(map_from_entries(collect_list(struct(
