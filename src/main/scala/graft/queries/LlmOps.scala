@@ -1406,6 +1406,89 @@ object LlmOps {
     // bins via a running token sum — shard-local (here: per language)
     // exactly as production packs per input shard; the window partitions
     // on a bounded stratum, never a global order.
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): weight each raw doc
+    // by how target-like its hashed-ngram feature profile is. Features
+    // are bigrams hashed into B=64 buckets (the engine-portable 60-bit
+    // sha256 hash mod B — DSIR's hashed-ngram trick is exactly what
+    // makes the method corpus-scale: the model is B counters, not a
+    // vocabulary); target = the 'en' slice, raw = the full corpus;
+    // per-bucket add-one smoothing. The published method scores
+    // Σ count·log(p_t/p_r); this implementation uses the
+    // RANK-PRESERVING-PER-BUCKET integer surrogate
+    // Σ (p_t·1e6 div p_r) averaged per instance (the lm_score/pagerank
+    // portability rule — float logs diverge cross-engine in the last
+    // ulp; selection consumes the ORDERING of weights). Scale: bucket
+    // stats are ONE aggregation with conditional counts (B=64 rows,
+    // broadcast); scoring is a map-side join + per-doc agg — the same
+    // two-pass shape as lm_score, never a vocabulary-sized state.
+    "llm_dsir_weights" -> QueryDef(
+      doc = "DSIR hashed-ngram importance weights (integer surrogate, en-target)",
+      oracle = """
+        |WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |         (lang = 'en') AS is_target
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, is_target,
+        |         CAST('0x' || substr(sha256(ws[i] || ' ' || ws[i+1]), 1, 15)
+        |              AS BIGINT) % 64 AS b
+        |  FROM w, unnest(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2
+        |), stats AS (
+        |  SELECT b, count(*) AS n_raw,
+        |         count(*) FILTER (is_target) AS n_tgt
+        |  FROM bg GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n_raw) AS BIGINT) AS raw_total,
+        |         CAST(sum(n_tgt) AS BIGINT) AS tgt_total
+        |  FROM stats
+        |), ratio AS (
+        |  SELECT b,
+        |         ((n_tgt + 1) * (raw_total + 64) * 1000000)
+        |           // ((n_raw + 1) * (tgt_total + 64)) AS r_ppm
+        |  FROM stats CROSS JOIN tot
+        |)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(r_ppm) // count(*) AS BIGINT) AS dsir_ppm
+        |FROM bg JOIN ratio USING (b)
+        |GROUP BY 1 ORDER BY 1
+        |""") { (s, d) =>
+      graft.functions.Sha256Chunks.register(s)
+      val hv = expr(
+        "shiftleft(element_at(sha256_chunks(sh), 1), 28) + " +
+          "shiftright(element_at(sha256_chunks(sh), 2), 4)")
+      // is_target rides the bigram explode in-row (same in-row
+      // adjacent-pair build as bigramInstances) — joining a
+      // corpus-sized doc→flag table back onto the instance stream
+      // would be a needless corpus-scale shuffle
+      val ws = split(col("text"), " ")
+      val bg = fanout(Tables.documents(s, d)
+          .where(size(ws) >= 2)
+          .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+            ws.as("ws")), col("doc_id"))
+        .select(col("doc_id"), col("is_target"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> " +
+            "concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("sh"))
+        .select(col("doc_id"), col("is_target"), pmod(hv, lit(64L)).as("b"))
+      // NOTE on the ×1e6 numerator: exact at any SF the tests run
+      // ((n_tgt+1)·(raw_total+64)·1e6 < 2^63 up to ~10^12 instances);
+      // a >10 TB-corpus deployment rescales the fixed point (1e4) or
+      // splits the division — the ratio stays a 64-row broadcast
+      val stats = bg.groupBy("b").agg(
+        count(lit(1)).as("n_raw"),
+        count(when(col("is_target"), 1)).as("n_tgt"))
+      val tot = stats.agg(sum("n_raw").as("raw_total"), sum("n_tgt").as("tgt_total"))
+      val ratio = stats.crossJoin(broadcast(tot))
+        .select(col("b"), expr(
+          "((n_tgt + 1) * (raw_total + 64) * 1000000)" +
+            " div ((n_raw + 1) * (tgt_total + 64))").as("r_ppm"))
+      bg.join(broadcast(ratio), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(r_ppm) div count(1)").cast("long").as("dsir_ppm"))
+    },
+
     // BM25-family keyword retrieval, top-k: the query-side twin of
     // llm_inverted_index / llm_tfidf_terms (index mechanics without a
     // ranking operator leave retrieval unfinished). Scoring is the
