@@ -1302,12 +1302,22 @@ object LlmOps {
         |GROUP BY doc_id
         |ORDER BY doc_id
         |""") { (s, d) =>
+      graft.functions.NgramHashes.register(s)
+      // ngram_hashes builds each doc's DISTINCT 3-gram hashes in ONE
+      // fused in-row pass (r10): the previous form exploded string
+      // shingles, rendered a sha256 hex per instance, sliced 12 chars,
+      // and then still had to dedup per doc — here the explode emits
+      // already-distinct 64-bit longs, so the final count is count(1),
+      // not countDistinct (probe at sf0.1: 1.0-1.2 s → ~0.45 s steady).
+      // hv stays internal (join key + count); the oracle counts its own
+      // hex-prefix hashes — both equal the distinct-gram count unless
+      // two different grams collide (64-bit: ~1e-10 at corpus scale,
+      // the ngram_hashes/jaccard argument).
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
       val h = docs
-        .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
-        .select(col("doc_id"), substring(sha2(col("sh"), 256), 1, 12).as("hv"))
+        .select(col("doc_id"), explode(expr("ngram_hashes(toks, 3)")).as("hv"))
       // BROADCAST the benchmark shingle-hash set (round-7 VERDICT
       // "What's wrong" #3): decontamination's reference side is the
       // eval benchmarks — bounded by the benchmark suites you screen
@@ -1330,9 +1340,9 @@ object LlmOps {
       h.where(col("doc_id") % 50 =!= 0)
         .join(broadcast(bench), Seq("hv"), "left_semi")
         .groupBy("doc_id")
-        // distinct hv per doc: partial (doc_id, hv) dedup map-side,
-        // then count — no sort, one exchange
-        .agg(countDistinct("hv").as("n_overlap"))
+        // hv rows are per-doc distinct by construction (ngram_hashes) —
+        // plain count, no dedup pass
+        .agg(count(lit(1)).as("n_overlap"))
     },
 
     // Boilerplate filter (C4/RefinedWeb-style): a bigram is boilerplate
@@ -2092,11 +2102,18 @@ object LlmOps {
           // the stop would be -1 and sequence(0, -1) DESCENDS.
           "transform(sequence(0, (size(toks) + 2) div 3 - 1), " +
             "j -> array_join(slice(toks, j*3 + 1, 3), ' '))")).as(Seq("li", "line")))
-      val dup = lines.groupBy("line")
+      // the dup branch keys on a 64-bit line hash, not the line string:
+      // the duplicate-set aggregation and the removal join shuffle and
+      // compare fixed-width longs while the strings stay put on the
+      // instance rows (they are only needed for the per-doc digest).
+      // The hash is internal — a cross-line collision (~1e-12 at corpus
+      // scale) is the ngram_hashes/decontaminate trade, accepted.
+      val hashed = lines.withColumn("lh", xxhash64(col("line")))
+      val dup = hashed.groupBy("lh")
         .agg(countDistinct("doc_id").as("ldf"))
         .where(col("ldf") >= 2)
-        .select(col("line"), lit(1).as("is_dup"))
-      lines.join(dup, Seq("line"), "left")
+        .select(col("lh"), lit(1).as("is_dup"))
+      hashed.join(dup, Seq("lh"), "left")
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_lines"),
