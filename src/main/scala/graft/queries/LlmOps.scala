@@ -517,6 +517,62 @@ object LlmOps {
         .where(col("cos_milli") >= 250)
     },
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023,
+    // arXiv:2303.09540): cluster the embedding space with a coarse
+    // quantizer, then prune ε-balls WITHIN each cluster only — the
+    // quantizer turns the corpus-quadratic pair space into
+    // Σ cluster² which stays linear when k scales with N (bounded
+    // cluster occupancy, same argument as llm_ann_ivf's cell join).
+    // The survivor rule here is the greedy deterministic one: drop a
+    // vector iff some LOWER-id vector in its cluster is within ε
+    // (cosine ≥ τ). Non-transitive by design — the transitive-closure
+    // flavor (connect pairs, elect per-component canonicals) is the
+    // separate llm_dedup_cluster/llm_cluster_fixpoint pipeline; greedy
+    // min-id is what SemDeDup ships because it needs no iteration and
+    // over-drops at most the chain tails. `label` stands in for the
+    // trained coarse quantizer exactly as in llm_ann_ivf (the real
+    // assignment path is ops.Ivf.assign; the oracle can replay a
+    // column, not a k-means run). Cosine in exact scaled-int so the
+    // drop decision is bit-identical across engines.
+    "llm_semantic_dedup" -> QueryDef(
+      doc = "SemDeDup: per-cluster cosine ε-ball pruning, min-id survivor",
+      oracle = s"""
+        |WITH v AS (
+        |  SELECT vec_id, label, embedding AS e,
+        |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        |  FROM embeddings
+        |), dropped AS (
+        |  SELECT DISTINCT b.vec_id AS vec_id
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE CAST(floor(1000.0 * (${dotSql("a.e", "b.e")})
+        |             / (a.nrm * b.nrm)) AS BIGINT) >= 280
+        |)
+        |SELECT v.vec_id, v.label, d.vec_id IS NULL AS kept
+        |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+        |ORDER BY v.vec_id
+        |""") { (s, d) =>
+      // norms once per vector (N rows); the pair stage sees only
+      // same-cluster candidates. The drop set is DISTINCT vec_b —
+      // bounded by N — and joins back as a broadcast-size-or-shuffle
+      // equi join; no window, no per-cluster collection.
+      val v = Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"), col("embedding"),
+          sqrt(dotScaled(s, "embedding", "embedding").cast("double")).as("nrm"))
+      val a = v.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = v.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val dropped = a.join(b, Seq("label"))
+        .where(col("vec_a") < col("vec_b"))
+        .where(floor(lit(1000.0) * dotScaled(s, "ea", "eb") /
+          (col("na") * col("nb"))).cast("long") >= 280)
+        .select(col("vec_b").as("vec_id")).distinct()
+      v.select(col("vec_id"), col("label"))
+        .join(dropped.withColumn("drp", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          col("drp").isNull.as("kept"))
+    },
+
     // Near-dup CLUSTER canonicalization — the step after candidate
     // pairs in every real dedup pipeline: connect the pairs into
     // clusters and elect min-id canonicals. Two rounds of min-label
@@ -2228,6 +2284,55 @@ object LlmOps {
       val (c2, c1, v) = lmModel(docs)
       graft.streaming.Streams.lmScoreStream(
         docs.where(col("doc_id") % 10 === 0), c2, c1, v)
+    },
+
+    // CCNet's head/middle/tail split (Wenzek et al. 2020,
+    // arXiv:1911.00359 §4.3): per-language terciles of the LM quality
+    // score — the bucket column IS the curation artifact (train on
+    // head+middle, hold out tail). Bucket by exact per-language rank
+    // with a deterministic tie-break, bucket = ((rn-1)*3) div n — an
+    // integer rule with no percentile-interpolation semantics to
+    // diverge across engines (ties split by doc_id, so both sides
+    // assign identically). avg_prob_ppm DESC = most-fluent-first, so
+    // bucket 0 is CCNet's "head". Scale note: the per-language
+    // ranking window is the one corpus-scale sort here (CCNet itself
+    // sorts each language shard); a language is NOT one partition —
+    // Spark range-partitions the window's sort — but the rank still
+    // serializes per language at the merge, so the 100 TB flavor
+    // replaces exact rank with GK-sketch tercile THRESHOLDS
+    // (llm_approx_stats' percentile path) + a map-only bucket join;
+    // the exact-rank flavor is the oracle-checkable contract both
+    // must satisfy on bounded data.
+    "llm_ppl_buckets" -> QueryDef(
+      doc = "CCNet head/middle/tail: per-language LM-score terciles",
+      oracle = s"""
+        |WITH scored AS (
+        |${lmScoreOracleSql.stripMargin.trim}
+        |), j AS (
+        |  SELECT s.doc_id, d.lang, s.avg_prob_ppm
+        |  FROM scored s JOIN documents d USING (doc_id)
+        |), r AS (
+        |  SELECT doc_id, lang, avg_prob_ppm,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY avg_prob_ppm DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM j
+        |)
+        |SELECT doc_id, lang, avg_prob_ppm,
+        |       CAST((rn - 1) * 3 // n AS BIGINT) AS bucket
+        |FROM r ORDER BY doc_id
+        |""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wOrd = Window.partitionBy("lang")
+        .orderBy(desc("avg_prob_ppm"), asc("doc_id"))
+      val wAll = Window.partitionBy("lang")
+      lmScore(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("avg_prob_ppm"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .select(col("doc_id"), col("lang"), col("avg_prob_ppm"),
+          expr("((rn - 1) * 3) div n").cast("long").as("bucket"))
     },
   )
 

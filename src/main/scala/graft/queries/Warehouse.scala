@@ -458,6 +458,73 @@ object Warehouse {
         .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     },
+
+    // Multi-source BFS hop distances over the q23 graph — the fourth
+    // graph primitive (PageRank: fixed-round value iteration;
+    // components: dense fixpoint; triangles: bounded multi-way join;
+    // BFS: FRONTIER/delta iteration, per-round work ∝ the newly
+    // discovered layer — see ops/Bfs). Seeds are every supplier node
+    // with suppkey ≡ 0 (mod 10) present in the graph; output is the
+    // reachability histogram (nodes per hop distance), the
+    // radius/coverage artifact a supply-chain reach analysis reads.
+    "q25_bfs_hops" -> QueryDef(
+      doc = "multi-source BFS hop histogram over the rare-quantity supplier↔part graph",
+      oracle = {
+        // each round references the previous CTE exactly ONCE: DuckDB
+        // inlines CTEs, so a round that reads prev twice doubles the
+        // expanded plan per level — 2^20 lineitem scans by r20. The
+        // "keep your own distance" term rides a weight-0 self-loop in
+        // the edge table instead of a second prev branch.
+        def iter(prev: String, cur: String) =
+          s"""$cur AS (
+             |  SELECT e.dst AS node, min(r.d + e.w) AS d
+             |  FROM $prev r JOIN edges e ON e.src = r.node
+             |  GROUP BY e.dst
+             |)""".stripMargin
+        // ECCENTRICITY ASSUMPTION (the q23 diameter caveat, verbatim):
+        // 20 chained rounds ≥ the seed set's eccentricity (≤ graph
+        // diameter, observed ≤14 at both verify SFs; min-distance
+        // propagation is idempotent past convergence). The Spark side
+        // runs the frontier to EMPTY (Bfs.run, maxIterations 50,
+        // throws if still expanding) — so if regenerated testdata ever
+        // exceeds 20, THIS ORACLE is the wrong side: raise the chain
+        // length first when debugging a q25 verify mismatch.
+        val chain = (0 until 20)
+          .map(i => iter(s"r$i", s"r${i + 1}")).mkString(", ")
+        s"""
+        |WITH e0 AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+        |  FROM lineitem WHERE l_quantity = 50 AND l_linenumber = 7
+        |), edges AS (
+        |  SELECT src, dst, 1 AS w FROM e0
+        |  UNION ALL SELECT dst, src, 1 FROM e0
+        |  UNION ALL SELECT src, src, 0 FROM e0
+        |  UNION ALL SELECT dst, dst, 0 FROM e0
+        |), r0 AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS node, 0 AS d
+        |  FROM lineitem
+        |  WHERE l_quantity = 50 AND l_linenumber = 7
+        |    AND l_suppkey % 10 = 0
+        |), $chain
+        |SELECT CAST(d AS BIGINT) AS distance, count(*) AS n_nodes,
+        |       min(node) AS min_node
+        |FROM r20 GROUP BY 1 ORDER BY 1
+        |"""
+      }) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .where(col("l_quantity") === 50 && col("l_linenumber") === 7)
+      val e0 = li
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .distinct()
+      val seeds = li.where(col("l_suppkey") % 10 === 0)
+        .select(concat(lit("s"), col("l_suppkey")).as("id"))
+      val res = graft.ops.Bfs.run(e0, seeds)
+      graft.ops.Releases.defer(() => res.release())
+      res.distances
+        .groupBy(col("d").as("distance"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
+    },
   )
 
   /** q24's skew knob (r9 VERDICT #3): orient each undirected edge

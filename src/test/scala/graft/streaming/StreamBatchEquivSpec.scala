@@ -319,4 +319,79 @@ class StreamBatchEquivSpec extends SparkSpec {
     // the tie (key 1, t=30) resolved toward the higher changeId
     assert(finalState(1L)._3 == 14L)
   }
+
+  test("sessionize stream equals batch q10_sessionize on the same events") {
+    import spark.implicits._
+    // Same 30-min gap rule on both sides; the equivalence needs the
+    // stream to see each user's events in event-time order ACROSS
+    // micro-batches (in-batch order is free — sessionize sorts the
+    // batch), so files slice the timeline and replay oldest-first.
+    // Fixture covers: gap exactly 1800 (same session under both rules'
+    // strict >), gap 1801 (new session), duplicate timestamps, a
+    // single-event session, and sessions split across micro-batches.
+    // A far-future SENTINEL event per user closes each user's last real
+    // session (append-mode FMGWS only emits on a later event; the
+    // sentinel's own session stays open in state and is never emitted —
+    // on the batch side it surfaces as a 1-event session at the
+    // sentinel offset and is excluded explicitly).
+    val base = 1704100000L
+    val sentinel = 100000L
+    val evs = Seq( // (userId, secOffset) in event-time order per user
+      (1L, 0L), (1L, 100L), (1L, 1900L), (1L, 3701L), (1L, 3701L), (1L, 3800L),
+      (2L, 50L), (2L, 2000L), (2L, 2000L), (2L, 2100L),
+      (3L, 7L)) ++ Seq(1L, 2L, 3L).map((_, sentinel))
+    val slices = Seq( // time-sliced micro-batches, shuffled WITHIN a slice
+      evs.filter(_._2 < 1000L).reverse,
+      evs.filter(e => e._2 >= 1000L && e._2 < 3000L),
+      evs.filter(e => e._2 >= 3000L && e._2 < sentinel).reverse,
+      evs.filter(_._2 == sentinel))
+    val dropDir = Files.createTempDirectory("equiv_sess")
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      val one = Files.createTempDirectory("equiv_sess_one")
+      rows.map { case (u, off) =>
+        (u, new java.sql.Timestamp((base + off) * 1000L), "view") }
+        .toDF("userId", "ts", "eventType")
+        .coalesce(1).write.mode("overwrite").parquet(one.toString)
+      val part = Files.list(one).iterator()
+      var src: Path = null
+      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) src = p }
+      val dst = dropDir.resolve(f"slice-$i%05d.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 2000L))
+    }
+    val evSchema = StructType(Seq(
+      StructField("userId", LongType), StructField("ts", TimestampType),
+      StructField("eventType", StringType)))
+    val stream = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "1") // one slice per micro-batch
+      .parquet(dropDir.toString).as[Streams.Event]
+    runAvailableNow(Streams.sessionize(stream, gapSecs = 1800,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .toDF(), "equiv_sess")
+    val streamed = spark.table("equiv_sess")
+      .select("userId", "startEpoch", "endEpoch", "nEvents")
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+    // batch side: the oracle-checked q10 over an events.parquet table
+    val batchDir = Files.createTempDirectory("equiv_sess_batch")
+    evs.zipWithIndex.map { case ((u, off), i) =>
+      (i.toLong, new java.sql.Timestamp((base + off) * 1000L), u, "view",
+        0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite")
+      .parquet(batchDir.resolve("events.parquet").toString)
+    val batch = SparkEntry.queries("q10_sessionize")(spark, batchDir.toString)
+      .select("user_id", "n_events", "start_sec", "dur_sec")
+      .as[(Long, Long, Long, Long)].collect()
+      .filterNot(_._3 == base + sentinel) // the sentinel's own session
+      .map { case (u, n, start, dur) => (u, start, start + dur, n.toInt) }
+      .toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed -- batch}\nbatch-only: ${batch -- streamed}")
+    // fixture sanity: the five real sessions, boundary gap folded
+    assert(batch == Set(
+      (1L, base, base + 1900L, 3), (1L, base + 3701L, base + 3800L, 3),
+      (2L, base + 50L, base + 50L, 1), (2L, base + 2000L, base + 2100L, 3),
+      (3L, base + 7L, base + 7L, 1)))
+  }
 }
