@@ -551,26 +551,11 @@ object LlmOps {
         |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
         |ORDER BY v.vec_id
         |""") { (s, d) =>
-      // norms once per vector (N rows); the pair stage sees only
-      // same-cluster candidates. The drop set is DISTINCT vec_b —
-      // bounded by N — and joins back as a broadcast-size-or-shuffle
-      // equi join; no window, no per-cluster collection.
-      val v = Tables.embeddings(s, d)
-        .select(col("label"), col("vec_id"), col("embedding"),
-          sqrt(dotScaled(s, "embedding", "embedding").cast("double")).as("nrm"))
-      val a = v.select(col("label"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = v.select(col("label"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      val dropped = a.join(b, Seq("label"))
-        .where(col("vec_a") < col("vec_b"))
-        .where(floor(lit(1000.0) * dotScaled(s, "ea", "eb") /
-          (col("na") * col("nb"))).cast("long") >= 280)
-        .select(col("vec_b").as("vec_id")).distinct()
-      v.select(col("vec_id"), col("label"))
-        .join(dropped.withColumn("drp", lit(true)), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("label"),
-          col("drp").isNull.as("kept"))
+      semanticDedup(s,
+        Tables.embeddings(s, d)
+          .select(col("label").as("cell"), col("vec_id"), col("embedding")),
+        tauMilli = 280)
+        .withColumnRenamed("cell", "label")
     },
 
     // Near-dup CLUSTER canonicalization — the step after candidate
@@ -2335,6 +2320,38 @@ object LlmOps {
           expr("((rn - 1) * 3) div n").cast("long").as("bucket"))
     },
   )
+
+  /** The SemDeDup pair-prune stage over ANY cell assignment — input
+    * `(cell, vec_id, embedding)`, output `(vec_id, cell, kept)` where
+    * kept = no LOWER-id vector in the same cell has cosine ≥ tau/1000.
+    * Norms are computed once per vector (N rows, never per pair); the
+    * drop set is a DISTINCT id list joined back as one equi join — no
+    * window, no per-cell collection. The pair space is Σ cell², so the
+    * caller owns the density knob: production pairs this with
+    * `ops.Ivf.build(embeddings, k ∝ N)` (bounded cell occupancy keeps
+    * the pair space linear in the corpus — measured in SCALE.md's sf1
+    * sweep); the `llm_semantic_dedup` query wires the testdata `label`
+    * column instead so the DuckDB oracle can replay the assignment
+    * (fixed k = 10, quadratic in density — the documented trade). */
+  private[graft] def semanticDedup(s: org.apache.spark.sql.SparkSession,
+      vectors: org.apache.spark.sql.DataFrame, tauMilli: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val v = vectors
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        sqrt(dotScaled(s, "embedding", "embedding").cast("double")).as("nrm"))
+    val a = v.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .where(floor(lit(1000.0) * dotScaled(s, "ea", "eb") /
+        (col("na") * col("nb"))).cast("long") >= tauMilli)
+      .select(col("vec_b").as("vec_id")).distinct()
+    v.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumn("drp", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("drp").isNull.as("kept"))
+  }
 
   /** Shared by `llm_lm_score` (batch pipeline) and `stream_lm_score`
     * (the streaming scorer's plan run in batch): both must reproduce
