@@ -106,6 +106,46 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_digest")
 
+  final case class CapDoc(docId: Long, source: String, hash64: Long)
+  final case class CapAdmit(docId: Long, source: String, rk: Long)
+
+  /** Streaming per-source admission cap — the ingest-time flavor of
+    * batch `llm_domain_cap`: admit a document iff its source has
+    * admitted fewer than `cap` so far. State is ONE counter per source
+    * (O(sources), never O(docs)); admission rides the grouped map — no
+    * window, no re-rank. Within a micro-batch, rows process in the
+    * batch's canonical (content-hash, doc_id) order — the batch op's
+    * exact ranking — so a whole corpus replayed as one batch reproduces
+    * `llm_domain_cap` row-for-row, and hash-ordered arrival reproduces
+    * it across micro-batches (StreamBatchEquivSpec asserts both).
+    * Across arbitrary arrival orders the stream keeps FIRST ARRIVALS —
+    * it cannot see future better-ranked docs; the batch op remains the
+    * periodic re-rank pass, the same split-of-duties contract as
+    * dedupDocStream vs llm_dedup_exact. `rk` is the per-source
+    * admission ordinal (= the batch op's rank when orders coincide). */
+  def domainCapStream(docs: DataFrame, cap: Int = 10): Dataset[CapAdmit] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("docId"), col("source"),
+        conv(substring(sha2(col("text"), 256), 1, 8), 16, 10)
+          .cast("long").as("hash64"))
+      .as[CapDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Int, CapAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[CapDoc], state: GroupState[Int]) =>
+          var n = state.getOption.getOrElse(0)
+          val admitted = List.newBuilder[CapAdmit]
+          // per-batch group size is bounded by the micro-batch, not the
+          // corpus; the sort gives the canonical in-batch order
+          rows.toSeq.sortBy(r => (r.hash64, r.docId)).foreach { r =>
+            if (n < cap) { n += 1; admitted += CapAdmit(r.docId, r.source, n.toLong) }
+          }
+          state.update(n)
+          admitted.result().iterator
+      }
+  }
+
   /** Streaming boilerplate scoring — the ingest-time flavor of batch
     * `llm_boilerplate`. The corpus-global document-frequency pass
     * cannot stream (df needs the whole corpus), so production splits

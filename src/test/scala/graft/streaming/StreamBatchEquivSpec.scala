@@ -320,6 +320,73 @@ class StreamBatchEquivSpec extends SparkSpec {
     assert(finalState(1L)._3 == 14L)
   }
 
+  test("domain-cap stream equals batch llm_domain_cap (one-batch and hash-ordered replay)") {
+    import spark.implicits._
+    // 15 docs in source "a" (cap 10 drops 5) + 11 in "b" (drops 1)
+    val rows = ((1 to 15).map(i => (i.toLong, s"alpha doc $i text", "a")) ++
+      (21 to 31).map(i => (i.toLong, s"beta doc $i text", "b")))
+    def hash64(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // batch side: the oracle-checked query over a documents table
+    val batchDir = Files.createTempDirectory("equiv_cap_batch")
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(batchDir.resolve("documents.parquet").toString)
+    val batch = SparkEntry.queries("llm_domain_cap")(spark, batchDir.toString)
+      .select("doc_id", "source", "rk").as[(Long, String, Long)]
+      .collect().toSet
+    assert(batch.size == 20 && batch.count(_._2 == "a") == 10) // cap bites both
+
+    val capSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    // case A: whole corpus in ONE micro-batch — the in-batch canonical
+    // (hash, doc_id) order alone must reproduce the batch ranking
+    val oneDir = Files.createTempDirectory("equiv_cap_one")
+    rows.toDF("doc_id", "text", "source").coalesce(1)
+      .write.mode("overwrite").parquet(oneDir.toString)
+    runAvailableNow(Streams.domainCapStream(
+      spark.readStream.schema(capSchema).parquet(oneDir.toString)).toDF(),
+      "equiv_cap_a")
+    val streamedA = spark.table("equiv_cap_a")
+      .select("docId", "source", "rk").as[(Long, String, Long)]
+      .collect().toSet
+    assert(streamedA == batch,
+      s"one-batch stream-only: ${streamedA -- batch}\nbatch-only: ${batch -- streamedA}")
+
+    // case B: one file per doc, arrival order = the batch op's (hash,
+    // doc_id) rank order, one micro-batch each — the cross-batch
+    // counter state must reproduce the same admissions
+    val dropDir = Files.createTempDirectory("equiv_cap_drop")
+    rows.sortBy { case (id, text, _) => (hash64(text), id) }
+      .zipWithIndex.foreach { case ((id, text, src), i) =>
+        val one = Files.createTempDirectory("equiv_cap_f")
+        Seq((id, text, src)).toDF("doc_id", "text", "source")
+          .coalesce(1).write.mode("overwrite").parquet(one.toString)
+        val part = Files.list(one).iterator()
+        var srcP: Path = null
+        while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) srcP = p }
+        val dst = dropDir.resolve(f"doc-$i%05d.parquet")
+        Files.copy(srcP, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 2000L))
+      }
+    runAvailableNow(Streams.domainCapStream(
+      spark.readStream.schema(capSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dropDir.toString)).toDF(),
+      "equiv_cap_b")
+    val streamedB = spark.table("equiv_cap_b")
+      .select("docId", "source", "rk").as[(Long, String, Long)]
+      .collect().toSet
+    assert(streamedB == batch,
+      s"replay stream-only: ${streamedB -- batch}\nbatch-only: ${batch -- streamedB}")
+  }
+
   test("sessionize stream equals batch q10_sessionize on the same events") {
     import spark.implicits._
     // Same 30-min gap rule on both sides; the equivalence needs the
