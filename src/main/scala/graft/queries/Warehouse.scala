@@ -299,7 +299,7 @@ object Warehouse {
       doc = "3-iteration integer PageRank over the trade graph",
       oracle = {
         def iter(prev: String, cur: String) =
-          s"""$cur AS (
+          s"""$cur AS MATERIALIZED (
              |  SELECT e.dst AS node, CAST(150000 + (85 * sum(r.pr // e.deg)) // 100 AS BIGINT) AS pr
              |  FROM edges e JOIN $prev r ON e.src = r.node
              |  GROUP BY e.dst
@@ -358,7 +358,7 @@ object Warehouse {
       doc = "connected components (fixpoint min-label) over the rare-quantity supplier↔part graph",
       oracle = {
         def iter(prev: String, cur: String) =
-          s"""$cur AS (
+          s"""$cur AS MATERIALIZED (
              |  SELECT e.dst AS node, min(r.lbl) AS lbl
              |  FROM edges e JOIN $prev r ON e.src = r.node
              |  GROUP BY e.dst
@@ -476,7 +476,7 @@ object Warehouse {
         // "keep your own distance" term rides a weight-0 self-loop in
         // the edge table instead of a second prev branch.
         def iter(prev: String, cur: String) =
-          s"""$cur AS (
+          s"""$cur AS MATERIALIZED (
              |  SELECT e.dst AS node, min(r.d + e.w) AS d
              |  FROM $prev r JOIN edges e ON e.src = r.node
              |  GROUP BY e.dst
@@ -523,6 +523,70 @@ object Warehouse {
       graft.ops.Releases.defer(() => res.release())
       res.distances
         .groupBy(col("d").as("distance"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
+    },
+
+    // Weighted shortest paths, BOUNDED at 12 relaxation rounds — the
+    // fifth graph primitive (ops/Sssp: Bellman-Ford with an
+    // improvement guard; all-weights-1 degenerates to q25's BFS).
+    // Bounded-by-construction is the operator, not a compromise: a
+    // weighted shortest path's HOP count is bounded only by component
+    // size (a cheap path may zigzag), so unlike BFS no fixed oracle
+    // chain is provably convergent — instead BOTH engines pin the
+    // same 12 rounds (the q22 fixed-iteration precedent) and the
+    // result is the cheapest cost within ≤12 supply tiers, exact and
+    // assumption-free under any testdata regeneration. Weights are a
+    // deterministic integer function of the edge's own keys so the
+    // oracle replays them.
+    "q26_sssp_tiers" -> QueryDef(
+      doc = "12-tier cheapest-cost reach (bounded Bellman-Ford) over the weighted supplier↔part graph",
+      oracle = {
+        // single-prev-reference rounds (the q25 CTE-inlining rule);
+        // weight-0 self-loops carry each reached node's own distance
+        def iter(prev: String, cur: String) =
+          s"""$cur AS MATERIALIZED (
+             |  SELECT e.dst AS node, min(r.d + e.w) AS d
+             |  FROM $prev r JOIN edges e ON e.src = r.node
+             |  GROUP BY e.dst
+             |)""".stripMargin
+        val chain = (0 until 12)
+          .map(i => iter(s"r$i", s"r${i + 1}")).mkString(", ")
+        s"""
+        |WITH e0 AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+        |         1 + (l_suppkey + l_partkey) % 7 AS w
+        |  FROM lineitem WHERE l_quantity = 50 AND l_linenumber = 7
+        |), edges AS (
+        |  SELECT src, dst, min(w) AS w FROM (
+        |    SELECT src, dst, w FROM e0
+        |    UNION ALL SELECT dst, src, w FROM e0
+        |    UNION ALL SELECT src, src, 0 FROM e0
+        |    UNION ALL SELECT dst, dst, 0 FROM e0
+        |  ) GROUP BY src, dst
+        |), r0 AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS node, 0 AS d
+        |  FROM lineitem
+        |  WHERE l_quantity = 50 AND l_linenumber = 7
+        |    AND l_suppkey % 10 = 0
+        |), $chain
+        |SELECT CAST(d AS BIGINT) AS cost, count(*) AS n_nodes,
+        |       min(node) AS min_node
+        |FROM r12 GROUP BY 1 ORDER BY 1
+        |"""
+      }) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .where(col("l_quantity") === 50 && col("l_linenumber") === 7)
+      val e0 = li
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"),
+          (lit(1L) + (col("l_suppkey") + col("l_partkey")) % 7).as("w"))
+        .distinct()
+      val seeds = li.where(col("l_suppkey") % 10 === 0)
+        .select(concat(lit("s"), col("l_suppkey")).as("id"))
+      val res = graft.ops.Sssp.run(e0, seeds, rounds = 12)
+      graft.ops.Releases.defer(() => res.release())
+      res.distances
+        .groupBy(col("d").as("cost"))
         .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
     },
   )
