@@ -31,8 +31,22 @@ object Components {
     * both orientations and self-loops are added internally, so every
     * endpoint labels itself even when isolated). Ids may be any
     * orderable type. Throws if `maxIterations` rounds do not converge —
-    * silently-partial clusters would corrupt dedup canonicalization. */
-  def run(edges: DataFrame, maxIterations: Int = 50): Labels = {
+    * silently-partial clusters would corrupt dedup canonicalization.
+    *
+    * `shortcut` (default on) adds a POINTER-JUMPING step to each round:
+    * after the neighbor-min propagate, label(v) ← label(label(v)) — the
+    * classic path-compression that makes effective propagation distance
+    * roughly DOUBLE per round, so convergence takes O(log diameter)
+    * rounds instead of O(diameter). The label is always a node id and
+    * every node id has a label row (self-loops), so the jump is one
+    * equi join of the round's label table against itself. Cost: one
+    * extra |V|-row shuffle per round — a clear win once the diameter
+    * exceeds a handful (at 100 TB graph scale, rounds are the dominant
+    * term: each is a full synchronization barrier). Pass false for
+    * known tiny-diameter inputs (near-dup clusters: d ≤ 3) where
+    * halving 3 rounds cannot pay for the extra per-round shuffle. */
+  def run(edges: DataFrame, maxIterations: Int = 50,
+      shortcut: Boolean = true): Labels = {
     // symmetrize via one explode (per the llm_dedup_cluster lineage
     // note: a 2-branch union would re-evaluate the candidate pipeline
     // per branch), add self-loops, dedup — then checkpoint ONCE: the
@@ -58,19 +72,35 @@ object Components {
       // label(v) ← min over neighbors u of label(u); the self-loop row
       // (dst = src) both includes v's own label in the min AND carries
       // it out as `prev`, so the convergence count needs NO second join
-      // against the previous snapshot — one shuffle per round. Labels
-      // are monotone non-increasing, so `<` counts all changes.
-      // `next` stays the RAW checkpointed Dataset — release() walks its
-      // analyzed plan for the LogicalRDD, which any wrapping Project
-      // (select/withColumnRenamed) would hide.
-      val next = e.join(labels.withColumnRenamed("src", "dst"), Seq("dst"))
+      // against the previous snapshot. Labels are monotone
+      // non-increasing, so `<` counts all changes — `prev` is the label
+      // BEFORE the round, so the guard also sees shortcut-only
+      // improvements. `next` stays the RAW checkpointed Dataset —
+      // release() walks its analyzed plan for the LogicalRDD, which any
+      // wrapping Project (select/withColumnRenamed) would hide.
+      val prop0 = e.join(labels.withColumnRenamed("src", "dst"), Seq("dst"))
         .groupBy("src")
         .agg(min("label").as("label"),
           min(when(col("dst") === col("src"), col("label"))).as("prev"))
-        .localCheckpoint(false)
+      var propCp: Option[DataFrame] = None
+      val next = (if (!shortcut) prop0 else {
+        // pointer jump: label ← label(label). The lazy checkpoint makes
+        // the propagate subtree compute ONCE although the jump join
+        // consumes it on both sides; its blocks release right after the
+        // count materializes the jumped snapshot. Left join + coalesce
+        // is pure defense — every label IS a node id with a row.
+        val prop = prop0.localCheckpoint(false)
+        propCp = Some(prop)
+        prop.join(
+            prop.select(col("src").as("label"), col("label").as("label2")),
+            Seq("label"), "left")
+          .select(col("src"),
+            coalesce(col("label2"), col("label")).as("label"), col("prev"))
+      }).localCheckpoint(false)
       // this count is the round's ONLY action: it materializes next's
       // checkpoint blocks and computes the convergence guard in one job
       changed = next.where(col("label") < col("prev")).count()
+      propCp.foreach(Checkpoints.release(_)) // jump input, superseded
       Checkpoints.release(labelsCp) // superseded snapshot
       labelsCp = next
       labels = next.select("src", "label")

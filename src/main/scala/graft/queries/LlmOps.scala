@@ -633,7 +633,11 @@ object LlmOps {
       // self-edges make isolated vectors singleton clusters
       val edges = cand.select(col("vec_a").as("src"), col("vec_b").as("dst"))
         .unionByName(verts.select(col("vec_id").as("src"), col("vec_id").as("dst")))
-      val labels = graft.ops.Components.run(edges)
+      // near-dup clusters are tiny-diameter (d ≤ 3 here): pointer
+      // jumping cannot halve enough rounds to pay for its extra
+      // per-round shuffle (measured +0.6 s steady at sf0.1) — opt out;
+      // q23's d=14 graph keeps the default
+      val labels = graft.ops.Components.run(edges, shortcut = false)
       graft.ops.Releases.defer(labels.release)
       labels.components
         .select(col("id").as("vec_id"), col("component"))

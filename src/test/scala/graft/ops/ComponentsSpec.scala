@@ -33,6 +33,22 @@ class ComponentsSpec extends SparkSpec {
     got.release()
   }
 
+  test("pointer jumping: O(log d) rounds on a long chain, same labels") {
+    // 48-node path, diameter 47: plain propagation needs ~47 rounds;
+    // with the per-round label(label(v)) jump the effective distance
+    // roughly doubles per round, so it must land well under half that.
+    val edges = (1L until 48L).map(i => (i, i + 1)).toDF("src", "dst")
+    val plain = Components.run(edges, maxIterations = 100, shortcut = false)
+    val jumped = Components.run(edges, maxIterations = 100)
+    val a = plain.components.as[(Long, Long)].collect().toMap
+    val b = jumped.components.as[(Long, Long)].collect().toMap
+    plain.release(); jumped.release()
+    assert(a == b && a.values.forall(_ == 1L))
+    assert(plain.iterations > 40, s"plain took ${plain.iterations}")
+    assert(jumped.iterations < plain.iterations / 2,
+      s"jump took ${jumped.iterations} vs plain ${plain.iterations}")
+  }
+
   test("release() drops every checkpoint block; blocks stay bounded mid-run") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
