@@ -92,8 +92,11 @@ object Bench {
     // queries, so a round with a failing heavy query would otherwise
     // report a smaller, better-looking total that is silently
     // incomparable with a clean round's — the counts make partial sums
-    // self-describing.
-    val nOk = results.count(_._2.isDefined)
+    // self-describing. A query counts ok only if BOTH timed runs
+    // succeeded (a steady-only failure would otherwise hide behind
+    // n_failed=0 while steady_total silently omits it — the same
+    // partial-sum problem shifted to the steady metric).
+    val nOk = results.count(r => r._2.isDefined && r._3.isDefined)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_failed":${results.length - nOk},"queries":$qs,"steady":$st,"steady_total":$steadyTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -69,8 +69,13 @@ object Tables {
         // 1990-01-01 / 2100-01-01 as epoch nanos
         val loNanos = 631152000000000000L
         val hiNanos = 4102444800000000000L
+        // NULL passes through as a null timestamp (a null row is valid
+        // data, and raise_error(concat(..., NULL)) would otherwise
+        // throw a message-less error); only NON-null out-of-range
+        // values fail loudly.
         raw.withColumn("ts", timestamp_micros(
-          when(col("ts").between(loNanos, hiNanos), expr("ts div 1000"))
+          when(col("ts").isNull, lit(null).cast(LongType))
+            .when(col("ts").between(loNanos, hiNanos), expr("ts div 1000"))
             .otherwise(expr(
               "raise_error(concat('events.ts: int64 value ', ts, " +
                 "' is outside the plausible nanos epoch range — " +

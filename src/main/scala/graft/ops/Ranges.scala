@@ -84,6 +84,8 @@ object Ranges {
   def intervalSelfOverlap(df: DataFrame, keys: Seq[String],
       startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!df.columns.contains("_b"),
+      "input already has the internal bucket column _b")
     val ex = df.where(col(endCol) > col(startCol)).withColumn("_b",
       explode(expr(
         s"sequence($startCol div $bucketWidth, ($endCol - 1) div $bucketWidth)")))

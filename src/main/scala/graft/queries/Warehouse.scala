@@ -681,13 +681,16 @@ object Warehouse {
     // list through a distinct(). Keeping deg OFF the edge rows also
     // means the loop never joins the |E|-sized relation against deg:
     // per-node contribution pr/deg is computed on the |V|-sized rank
-    // table first, and only that small (node, contrib) relation joins
-    // the raw edge list — |V| ≪ |E| on any real graph, so AQE
-    // broadcasts it and each iteration is one map-side probe over the
-    // cached edges plus one partially-aggregated shuffle of ≤ |V| rows
-    // per partition. (The previous shape decorated every edge row with
-    // its degree via an |E|-sized join before the loop — measured
-    // ~1 s slower at sf0.1 and strictly more shuffled bytes at scale.)
+    // table first (pr ⋈ deg — deg is the broadcast side there, the
+    // executed plan's one BroadcastHashJoin per iteration), and only
+    // that small (node, contrib) relation then meets the raw edge
+    // list — as the audited SortMergeJoin above: contrib shuffles and
+    // sorts (|V| rows), the cached edge side is consumed in place.
+    // Each iteration is therefore one |V|-row exchange plus one
+    // partially-aggregated shuffle of ≤ |V| rows per partition. (The
+    // previous shape decorated every edge row with its degree via an
+    // |E|-sized join before the loop — measured ~1 s slower at sf0.1
+    // and strictly more shuffled bytes at scale.)
     val deg = edge0.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.ops.Releases.defer(() => { deg.unpersist(false); () })

@@ -90,4 +90,24 @@ class TablesSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("nanos epoch range"), e2.getMessage)
   }
+
+  // A NULL ts is valid data, not an encoding drift: it must load as a
+  // null timestamp (and never reach the range guard, whose
+  // raise_error(concat(..., NULL)) would throw a message-less error).
+  test("events loader passes NULL int64 ts through as null timestamp") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val base = java.nio.file.Files.createTempDirectory("tables-events-null").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType)))
+    spark.createDataFrame(
+      java.util.List.of(Row(1L, null), Row(2L, 1723500000123456000L)), schema)
+      .write.parquet(s"$base/events.parquet")
+    val rows = Tables.events(spark, base)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows == Map(1L -> None, 2L -> Some(1723500000123456L)))
+  }
 }

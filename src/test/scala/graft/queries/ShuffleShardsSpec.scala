@@ -31,7 +31,6 @@ class ShuffleShardsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     // same data, adversarial partitioning: the result must not change
     val repartitioned = graft.Tables.documents(spark, sf).repartition(13)
-    repartitioned.createOrReplaceTempView("shuffle_shards_alt")
     graft.functions.Sha256Chunks.register(spark)
     val hv = expr(
       "shiftleft(element_at(sha256_chunks(cast(doc_id as string)), 1), 28) + " +

@@ -80,17 +80,16 @@ gen("events", f"""
   FROM '{src}/events.parquet', {R}""")
 
 gen("documents", f"""
-  SELECT doc_id + r*{DK} AS doc_id,
-         CASE WHEN r = 0 THEN text
-              ELSE array_to_string(
-                [CAST(r AS VARCHAR) || w FOR w IN string_split(text, ' ')], ' ')
-         END AS text,
-         lang, source,
-         CAST(length(CASE WHEN r = 0 THEN text
-              ELSE array_to_string(
-                [CAST(r AS VARCHAR) || w FOR w IN string_split(text, ' ')], ' ')
-         END) AS BIGINT) AS n_chars
-  FROM '{src}/documents.parquet', {R}""")
+  SELECT doc_id, text, lang, source,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM (
+    SELECT doc_id + r*{DK} AS doc_id,
+           CASE WHEN r = 0 THEN text
+                ELSE array_to_string(
+                  [CAST(r AS VARCHAR) || w FOR w IN string_split(text, ' ')], ' ')
+           END AS text,
+           lang, source
+    FROM '{src}/documents.parquet', {R})""")
 
 gen("embeddings", f"""
   SELECT vec_id + r*{VK} AS vec_id,
