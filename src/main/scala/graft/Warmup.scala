@@ -195,6 +195,24 @@ object Warmup {
         lbl.components.write.mode("overwrite").format("noop").save()
         lbl.release()
       }
+      // frontier-BFS and bounded-SSSP round shapes behind q25/q26
+      // (expand join + min-dedup + settle anti-join; relax join +
+      // min(d+w) agg) — STRING node ids, the type the queries use, so
+      // the generated code specializes identically; a 2-edge run
+      // compiles every per-round plan
+      locally {
+        import spark.implicits._
+        val bfs = graft.ops.Bfs.run(
+          Seq(("a", "b"), ("b", "c")).toDF("src", "dst"),
+          Seq("a").toDF("id"))
+        bfs.distances.write.mode("overwrite").format("noop").save()
+        bfs.release()
+        val sssp = graft.ops.Sssp.run(
+          Seq(("a", "b", 2L), ("b", "c", 1L)).toDF("src", "dst", "w"),
+          Seq("a").toDF("id"), rounds = 3)
+        sssp.distances.write.mode("overwrite").format("noop").save()
+        sssp.release()
+      }
       // minimize-services shapes behind c8_minimize_services: the FULL
       // query pipeline (28-day sequence explode, 4-variant filter,
       // minimizeServices mask aggregation, full_outer summary join) on
