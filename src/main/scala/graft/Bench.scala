@@ -93,11 +93,15 @@ object Bench {
     // report a smaller, better-looking total that is silently
     // incomparable with a clean round's — the counts make partial sums
     // self-describing. A query counts ok only if BOTH timed runs
-    // succeeded (a steady-only failure would otherwise hide behind
-    // n_failed=0 while steady_total silently omits it — the same
-    // partial-sum problem shifted to the steady metric).
+    // succeeded; `value` sums successful FIRST runs and `steady_total`
+    // successful STEADY runs, so each sum carries its own count
+    // (n_ok_first / n_ok_steady — r10 ADVICE: with only the combined
+    // n_ok, neither sum was self-describing when exactly one of a
+    // query's two runs failed).
     val nOk = results.count(r => r._2.isDefined && r._3.isDefined)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_failed":${results.length - nOk},"queries":$qs,"steady":$st,"steady_total":$steadyTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}"""
+    val nOkFirst = results.count(_._2.isDefined)
+    val nOkSteady = results.count(_._3.isDefined)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_failed":${results.length - nOk},"n_ok_first":$nOkFirst,"n_ok_steady":$nOkSteady,"queries":$qs,"steady":$st,"steady_total":$steadyTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed exact rank / grouped running total — the scale-safe
+  * replacement for `sum(w).over(Window.partitionBy(group).orderBy(...))`
+  * when the GROUP column has small, fixed cardinality (lang, label,
+  * shard): a plain window funnels each group's entire corpus through
+  * ONE task at the rank merge (r10 VERDICT #1, the worst shipped
+  * scale-killer shape), while this op never sorts more than one range
+  * partition per task.
+  *
+  * Algorithm (the classic sample-sort rank):
+  *   1. range-partition the input on (group, order...) — contiguous
+  *      global sort order across partitions, a group freely SPANS many
+  *      partitions;
+  *   2. per-(partition, group) inclusive running totals via a window
+  *      keyed by the partition id — every window group is bounded by
+  *      the range-partition size (~N/P rows), never by a group's corpus
+  *      share, so a 99%-one-lang skew still spreads across tasks;
+  *   3. per-(partition, group) subtotals (a P×G-row relation) get
+  *      prefix offsets + group totals from windows over that TINY
+  *      relation, and broadcast-join back — no extra shuffle of fact
+  *      rows.
+  *
+  * Rank totals are exact and identical to the single-window answer
+  * wherever (order...) is a total order within each group (ties that
+  * span a range-partition boundary would otherwise split
+  * nondeterministically — pass a unique tie-break column, as any
+  * deterministic rank already must). Correct at ANY group cardinality,
+  * but the offset relation is O(P·G) rows and is broadcast — for
+  * HIGH-cardinality groups use a plain window instead: Spark already
+  * spreads many small groups across tasks, and no single task sees a
+  * whole corpus.
+  */
+object ExactRank {
+
+  /** Adds `cum` — the inclusive running total of `weight` in
+    * `order`-sort order within `group` — and `n`, the group's total
+    * weight (both BIGINT). With `weight = lit(1L)` and a unique order
+    * key, `cum` IS `row_number()` over the group. Input must not
+    * already carry `cum`, `n`, or `_pid`/`_w`/`_cumloc`/`_pw`/`_off`
+    * columns. `keepPid` exposes the range-partition id (`_pid`) for
+    * tests asserting that a group spans >1 partition. */
+  def prefixSum(df: DataFrame, group: String, order: Seq[Column],
+      weight: Column, keepPid: Boolean = false): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val rangeKeys = col(group) +: order
+    // spark_partition_id is nondeterministic-flagged, so it must be
+    // materialized in a Project BEFORE any window/aggregate references
+    // it (attribute references are fine where raw nondeterministic
+    // expressions are rejected). The range-partitioned relation is
+    // localCheckpoint'd because its TWO consumers below must agree on
+    // the pids: RangePartitioner draws its bound SAMPLE with a seed
+    // derived from the shuffle RDD's id, so if the planner materializes
+    // the exchange twice instead of reusing it (observed on the
+    // aggregation-heavy llm_ppl_buckets input at sf0.1 — exchange reuse
+    // is an optimization, never a guarantee), the instances pick
+    // DIFFERENT bounds and the offset join silently corrupts ranks.
+    // The checkpoint pins one evaluation — one linear write, the
+    // Components/Bfs per-round idiom — and the blocks release at the
+    // caller's next Releases.drain().
+    val rp = df
+      .repartitionByRange(p, rangeKeys: _*)
+      .withColumn("_w", weight.cast("long"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    Releases.defer(() => Checkpoints.release(rp, blocking = true))
+    val wLoc = Window.partitionBy(col("_pid"), col(group))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val loc = rp.withColumn("_cumloc", sum(col("_w")).over(wLoc))
+    val parts = rp.groupBy(col("_pid"), col(group)).agg(sum(col("_w")).as("_pw"))
+    // offsets over the P×G subtotal relation: rows of MY group in
+    // LOWER-pid partitions sort strictly before mine (range partitioning
+    // on (group, order...) guarantees it), so the exclusive prefix sum
+    // by pid is exactly the number of predecessors outside my partition.
+    val wOff = Window.partitionBy(group).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(group)
+    val offs = parts
+      .withColumn("_off", coalesce(sum(col("_pw")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("_pw")).over(wTot))
+      .select(col("_pid"), col(group), col("_off"), col("n"))
+    val joined = loc.join(broadcast(offs), Seq("_pid", group))
+      .withColumn("cum", col("_cumloc") + col("_off"))
+      .drop("_w", "_cumloc", "_off")
+    if (keepPid) joined else joined.drop("_pid")
+  }
+}

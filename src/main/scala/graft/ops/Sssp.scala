@@ -49,6 +49,11 @@ object Sssp {
     * self-loop is added for every seed as well as every edge
     * endpoint). */
   def run(edges: DataFrame, seeds: DataFrame, rounds: Int): Distances = {
+    // rounds = 0 would silently return seeds-only "distances" — make the
+    // misuse loud. Weight non-negativity stays the CALLER's contract
+    // (documented above): validating it would cost a full pass over the
+    // edge list before any useful work.
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
     // symmetrize via one explode, add weight-0 self-loops for BOTH
     // endpoints and for the seeds (any reached node must keep its
     // distance through the min; a seed with no incident edge would
