@@ -89,13 +89,20 @@ object Ivf {
     * plannings + three job launches than in the data path at test
     * scale, and at production scale fewer driver barriers only helps).
     *
-    * Multi-pass builds keep the collect-and-restart loop: each pass's
-    * plan would otherwise embed the previous pass's full assign+mean
-    * lineage, growing the final DAG geometrically with `iterations`. */
+    * Multi-pass builds cut per-pass lineage with an EAGER k-row
+    * centroid checkpoint instead (each pass's plan would otherwise
+    * embed the previous pass's full assign+mean lineage, growing the
+    * final DAG geometrically with `iterations`): no driver-side
+    * centroid materialization anywhere in the loop, so the build
+    * stays executor-resident even at the production knob k ∝ N (r10
+    * VERDICT #4). The one remaining driver-size-bounded artifact is
+    * the BROADCAST of the centroid table at assign time — inherent to
+    * IVF's bounded-coarse-quantizer contract; past broadcast scale
+    * (k·dim doubles ≳ a few GB) the production move is a two-level
+    * quantizer, not a bigger flat one. */
   def buildIndex(embeddings: DataFrame, k: Int, iterations: Int = 1)
       : Index = {
     if (iterations == 1) return buildFused(embeddings, k)
-    val spark = embeddings.sparkSession
     // pre-partition by vec_id: the k×N assign loop is the build's heavy
     // narrow stage and the per-vector argmin aggregation reuses this
     // partitioning (single-row-group test files otherwise leave the
@@ -117,39 +124,41 @@ object Ivf {
       transform(col("embedding"), x => x.cast("double")).as("embedding_d"))
       .repartition(col("vec_id"))
       .localCheckpoint(false)
-    // seeds collected to the driver: the coarse quantizer is bounded by
-    // k rows BY DESIGN (it is broadcast everywhere downstream), so a
-    // k-row collect is scale-safe and replaces the former semi-join +
-    // global row_number window — two whole stages — with one tiny job
-    val seedRows = vectors.orderBy("vec_id").limit(k).collect()
-    val seedData = seedRows.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row(i, r.getSeq[Double](1))
-    }
-    val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cell",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("centroid",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType))))
-    var centroids = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        java.util.Arrays.asList(seedData: _*)), centroidSchema)
+    // seeds stay DISTRIBUTED (r10 VERDICT #4: with the production knob
+    // k ∝ N, per-iteration k-row driver materializations make the
+    // build driver-bound at corpus scale — k~10⁶ × dim doubles per
+    // Lloyd pass). The k-row ranked window after limit(k) only ever
+    // sees the k seed rows (the buildFused shape); its EAGER checkpoint
+    // is the job that also materializes the vectors' lazy checkpoint —
+    // same job count as the former seed collect, zero rows to the
+    // driver.
+    var centroids = vectors.orderBy("vec_id").limit(k)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cell"),
+        col("embedding_d").as("centroid"))
+      .localCheckpoint(true)
+    val snapshots = scala.collection.mutable.ListBuffer(centroids)
     var assigned = assign(vectors, centroids)
     (1 to iterations).foreach { _ =>
-      // collect the k-row centroid table (bounded BY DESIGN — it is
-      // broadcast everywhere downstream) and restart the plan from a
-      // local relation: otherwise each Lloyd pass's plan embeds the
-      // previous pass's full assign+mean lineage, growing the final DAG
-      // geometrically with `iterations`. Values are exact (DECIMAL
-      // sums), so the collect changes nothing semantically.
-      val refinedRows = refine(assigned).collect()
-      centroids = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          java.util.Arrays.asList(refinedRows: _*)), centroidSchema)
+      // checkpoint the k-row centroid relation EAGERLY each pass and
+      // restart the plan from its blocks: otherwise each Lloyd pass's
+      // plan embeds the previous pass's full assign+mean lineage,
+      // growing the final DAG geometrically with `iterations`. The
+      // eager job runs exactly the work the former per-pass collect
+      // ran, but the k rows land in executor block storage (and are
+      // broadcast from there by the next assign) instead of on the
+      // driver. Values are exact (DECIMAL sums), so the restart
+      // changes nothing semantically. Superseded snapshots are NOT
+      // released mid-build: the returned assignments plan still reads
+      // the final pass's blocks, the k-row intermediates are
+      // negligible next to the vector corpus, and release() drops
+      // them all.
+      centroids = refine(assigned).localCheckpoint(true)
+      snapshots += centroids
       assigned = assign(vectors, centroids)
     }
     Index(assigned.select("vec_id", "cell"), centroids,
-      () => Checkpoints.release(vectors, blocking = true))
+      () => (vectors +: snapshots.toList)
+        .foreach(Checkpoints.release(_, blocking = true)))
   }
 
   /** iterations == 1 build as one lazy plan (see [[buildIndex]] doc).

@@ -53,6 +53,20 @@ class BfsSpec extends SparkSpec {
     }
   }
 
+  test("deep path: chain of 100 completes with constant-width settle") {
+    // the r10 settle shape unioned every prior layer checkpoint — at
+    // 100 rounds that plan is 100 branches wide; the folded single
+    // settled snapshot must stay one branch at any depth. Correctness
+    // on a maximal-eccentricity graph: distance = chain position.
+    val chain = (0L until 100L).map(i => (i, i + 1))
+    val got = Bfs.run(chain.toDF("src", "dst"), Seq(0L).toDF("id"),
+      maxIterations = 120)
+    val m = got.distances.as[(Long, Long)].collect().toMap
+    got.release()
+    assert(got.iterations == 101, s"100 expansions + 1 empty, got ${got.iterations}")
+    assert(m == (0L to 100L).map(i => i -> i).toMap)
+  }
+
   test("release() drops every checkpoint block") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val got = Bfs.run(

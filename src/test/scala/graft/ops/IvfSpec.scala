@@ -24,8 +24,9 @@ class IvfSpec extends SparkSpec {
 
   test("multi-pass build matches the fused single-pass plan and release frees its blocks") {
     val e = Tables.embeddings(spark, sf)
-    // iterations = 2 takes the collect-and-restart path with the lazy
-    // localCheckpoint; iterations = 1 is the fused zero-checkpoint plan
+    // iterations = 2 takes the checkpoint-and-restart path (lazy vector
+    // checkpoint + eager k-row centroid snapshots, nothing collected to
+    // the driver); iterations = 1 is the fused zero-checkpoint plan
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val ix = Ivf.buildIndex(e, k = 8, iterations = 2)
     assert(ix.assignments.count() == e.count())
