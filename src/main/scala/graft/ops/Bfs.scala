@@ -66,15 +66,21 @@ object Bfs {
     var layers = List(f0) // newest first; all checkpointed (the result)
     var extra = List.empty[DataFrame] // the final empty expansion
     // the ONE settled-id snapshot the anti-join reads — re-folded each
-    // round so the plan never widens with depth (lazy here: round 1's
-    // count materializes it alongside the first expansion)
+    // round so the plan never widens with depth. The fold is a LAZY
+    // checkpoint: round r+1's count materializes it inside the round's
+    // only job (reading the previous snapshot's blocks + the layer's
+    // blocks — one extra |settled|-row write per round, the documented
+    // trade), so a superseded snapshot can only be released one round
+    // LATER, once the fold that reads it has materialized.
     var settled = f0.select("id").localCheckpoint(false)
+    var superseded: DataFrame = null
     var frontier = f0
     var n = frontier.count()
     var iter = 0
     while (n > 0) {
       if (iter >= maxIterations) {
-        (layers ++ extra ++ Seq(e, settled)).foreach(Checkpoints.release(_))
+        (layers ++ extra ++ Seq(e, settled) ++ Option(superseded))
+          .foreach(Checkpoints.release(_))
         throw new IllegalStateException(
           s"BFS frontier still non-empty after $maxIterations rounds")
       }
@@ -83,22 +89,22 @@ object Bfs {
         .groupBy("id").agg(min("d").as("d"))
         .join(settled, Seq("id"), "left_anti")
         .localCheckpoint(false)
-      // materializes the layer's checkpoint blocks and computes the
+      // the round's ONLY action: materializes the layer's checkpoint
+      // blocks, the settled fold it anti-joins against, and the
       // termination guard in one job
       n = next.count()
+      // the fold `settled` is now materialized, so the snapshot it
+      // folded over is no longer read by anything — release it
+      if (superseded != null) { Checkpoints.release(superseded); superseded = null }
       if (n > 0) {
-        // fold the layer into the settled snapshot EAGERLY (one
-        // |settled|+n-row write), then drop the superseded snapshot —
-        // constant plan width and per-round read at any depth
-        val ns = settled.unionByName(next.select("id")).localCheckpoint(true)
-        Checkpoints.release(settled)
-        settled = ns
+        superseded = settled
+        settled = settled.unionByName(next.select("id")).localCheckpoint(false)
         layers ::= next
         frontier = next
       } else extra ::= next
       iter += 1
     }
-    val all = layers ++ extra ++ Seq(settled)
+    val all = layers ++ extra ++ Seq(settled) ++ Option(superseded)
     Distances(
       layers.map(_.toDF("id", "d")).reduce(_ unionByName _),
       iter,

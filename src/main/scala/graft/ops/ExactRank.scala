@@ -48,26 +48,33 @@ object ExactRank {
       weight: Column, keepPid: Boolean = false): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val rangeKeys = col(group) +: order
-    // spark_partition_id is nondeterministic-flagged, so it must be
+    // TWO checkpoints, each load-bearing (both narrow-row linear
+    // writes, released at the caller's next Releases.drain()):
+    //  - the INPUT: a range exchange executes its child twice (one
+    //    bound-SAMPLING pass, then the shuffle write), so an expensive
+    //    upstream pipeline — llm_ppl_buckets' LM scorer — would run
+    //    2× (measured: 0.9 → 1.9 s steady at sf0.1). Pinning the
+    //    input makes both passes block reads.
+    //  - the SHUFFLED pid-stamped relation: its two consumers below
+    //    must agree on the pids, and RangePartitioner draws its bound
+    //    sample with a seed derived from the shuffle RDD's id — if the
+    //    planner materializes the exchange twice instead of reusing it
+    //    (observed on this very input; exchange reuse is an
+    //    optimization, never a guarantee), the instances pick
+    //    DIFFERENT bounds and the offset join silently corrupts ranks.
+    // spark_partition_id is nondeterministic-flagged, so it is
     // materialized in a Project BEFORE any window/aggregate references
     // it (attribute references are fine where raw nondeterministic
-    // expressions are rejected). The range-partitioned relation is
-    // localCheckpoint'd because its TWO consumers below must agree on
-    // the pids: RangePartitioner draws its bound SAMPLE with a seed
-    // derived from the shuffle RDD's id, so if the planner materializes
-    // the exchange twice instead of reusing it (observed on the
-    // aggregation-heavy llm_ppl_buckets input at sf0.1 — exchange reuse
-    // is an optimization, never a guarantee), the instances pick
-    // DIFFERENT bounds and the offset join silently corrupts ranks.
-    // The checkpoint pins one evaluation — one linear write, the
-    // Components/Bfs per-round idiom — and the blocks release at the
-    // caller's next Releases.drain().
-    val rp = df
+    // expressions are rejected).
+    val in = df.withColumn("_w", weight.cast("long")).localCheckpoint(false)
+    val rp = in
       .repartitionByRange(p, rangeKeys: _*)
-      .withColumn("_w", weight.cast("long"))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(false)
-    Releases.defer(() => Checkpoints.release(rp, blocking = true))
+    Releases.defer(() => {
+      Checkpoints.release(in, blocking = true)
+      Checkpoints.release(rp, blocking = true)
+    })
     val wLoc = Window.partitionBy(col("_pid"), col(group))
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

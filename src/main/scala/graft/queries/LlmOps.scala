@@ -2350,8 +2350,16 @@ object LlmOps {
     // in one task at the merge). Identical output, and `cum` is
     // BIGINT so the *3 arithmetic cannot overflow past 715M docs per
     // language the way the window's 32-bit row_number did (r10
-    // ADVICE). The sketch flavor (GK tercile thresholds + map-only
-    // bucket join) remains llm_approx_stats' percentile path.
+    // ADVICE). Measured trade at sf0.1 (probe decomposition): the
+    // scorer pipeline alone is ~1.0 s and the window formulation
+    // fused rank into it for ~0.96 s total; ExactRank's machinery
+    // (two pinned relations + range exchange + pid-window + offset
+    // join) adds ~0.6 s of FIXED stage barriers on the 6 k-row scored
+    // relation — pure scheduling floor at test scale, amortized at
+    // corpus scale, where the single-task merge it removes is the
+    // difference between finishing and not. The sketch flavor (GK
+    // tercile thresholds + map-only bucket join) remains
+    // llm_approx_stats' percentile path.
     "llm_ppl_buckets" -> QueryDef(
       doc = "CCNet head/middle/tail: per-language LM-score terciles",
       oracle = s"""
