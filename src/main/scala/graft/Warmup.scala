@@ -275,6 +275,18 @@ object Warmup {
           .write.mode("overwrite").format("noop").save()
         graft.ops.Releases.drain()
       }
+      // ExactRank shapes behind llm_ppl_buckets/llm_length_percentiles
+      // (range exchange + checkpoint, pid-keyed running-count window,
+      // tiny offset windows, broadcast offset join)
+      locally {
+        import spark.implicits._
+        val df = Seq(("x", 3L, 1L), ("x", 1L, 2L), ("y", 2L, 3L))
+          .toDF("lang", "score", "doc_id")
+        graft.ops.ExactRank.prefixSum(df, "lang",
+            Seq(desc("score"), asc("doc_id")), lit(1L))
+          .write.mode("overwrite").format("noop").save()
+        graft.ops.Releases.drain()
+      }
       // BottomK distinct-long Aggregator (ObjectHashAggregate shape
       // behind llm_inverted_index's bounded posting list) + set-op
       // plans (INTERSECT/EXCEPT semi/anti + dedup behind q19)
