@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
 
 /** Distributed exact rank / grouped running total — the scale-safe
   * replacement for `sum(w).over(Window.partitionBy(group).orderBy(...))`
@@ -12,14 +13,19 @@ import org.apache.spark.sql.expressions.Window
   * scale-killer shape), while this op never sorts more than one range
   * partition per task.
   *
-  * Algorithm (the classic sample-sort rank):
+  * Algorithm (the classic sample-sort rank), ONE corpus shuffle total:
   *   1. range-partition the input on (group, order...) — contiguous
   *      global sort order across partitions, a group freely SPANS many
   *      partitions;
-  *   2. per-(partition, group) inclusive running totals via a window
-  *      keyed by the partition id — every window group is bounded by
-  *      the range-partition size (~N/P rows), never by a group's corpus
-  *      share, so a 99%-one-lang skew still spreads across tasks;
+  *   2. per-(partition, group) inclusive running totals via
+  *      sortWithinPartitions + a NARROW per-partition scan — the data
+  *      is already range-clustered, so no second corpus exchange (a
+  *      Window.partitionBy(_pid, group) expresses the same thing but
+  *      Catalyst cannot see that the range layout already satisfies
+  *      its clustering and re-shuffles the whole corpus; this is the
+  *      genuine mapPartitions case the design brief reserves it for).
+  *      Every task sorts exactly one range partition (~N/P rows), never
+  *      a group's corpus share, so a 99%-one-lang skew still spreads;
   *   3. per-(partition, group) subtotals (a P×G-row relation) get
   *      prefix offsets + group totals from windows over that TINY
   *      relation, and broadcast-join back — no extra shuffle of fact
@@ -63,8 +69,8 @@ object ExactRank {
     //    optimization, never a guarantee), the instances pick
     //    DIFFERENT bounds and the offset join silently corrupts ranks.
     // spark_partition_id is nondeterministic-flagged, so it is
-    // materialized in a Project BEFORE any window/aggregate references
-    // it (attribute references are fine where raw nondeterministic
+    // materialized in a Project BEFORE anything else references it
+    // (attribute references are fine where raw nondeterministic
     // expressions are rejected).
     val in = df.withColumn("_w", weight.cast("long")).localCheckpoint(false)
     val rp = in
@@ -75,10 +81,25 @@ object ExactRank {
       Checkpoints.release(in, blocking = true)
       Checkpoints.release(rp, blocking = true)
     })
-    val wLoc = Window.partitionBy(col("_pid"), col(group))
-      .orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val loc = rp.withColumn("_cumloc", sum(col("_w")).over(wLoc))
+    // running totals: narrow per-partition scan over the range-sorted
+    // blocks. Group runs are contiguous after the in-partition sort, so
+    // one accumulator per task suffices; accumulator resets compare the
+    // group VALUE (external row values, not object identity).
+    val sorted = rp.sortWithinPartitions(rangeKeys: _*)
+    val gi = sorted.schema.fieldIndex(group)
+    val wi = sorted.schema.fieldIndex("_w")
+    val outSchema = sorted.schema.add("_cumloc", LongType, nullable = false)
+    val loc = sorted.mapPartitions { it =>
+      var cur: Any = null
+      var started = false
+      var acc = 0L
+      it.map { r =>
+        val g = r.get(gi)
+        if (!started || g != cur) { acc = 0L; cur = g; started = true }
+        acc += r.getLong(wi)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(Encoders.row(outSchema))
     val parts = rp.groupBy(col("_pid"), col(group)).agg(sum(col("_w")).as("_pw"))
     // offsets over the P×G subtotal relation: rows of MY group in
     // LOWER-pid partitions sort strictly before mine (range partitioning

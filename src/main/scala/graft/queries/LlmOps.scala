@@ -2353,8 +2353,8 @@ object LlmOps {
     // ADVICE). Measured trade at sf0.1 (probe decomposition): the
     // scorer pipeline alone is ~1.0 s and the window formulation
     // fused rank into it for ~0.96 s total; ExactRank's machinery
-    // (two pinned relations + range exchange + pid-window + offset
-    // join) adds ~0.6 s of FIXED stage barriers on the 6 k-row scored
+    // (two pinned relations + the range exchange + offset join) adds
+    // ~0.2-0.4 s of FIXED stage barriers on the 6 k-row scored
     // relation — pure scheduling floor at test scale, amortized at
     // corpus scale, where the single-task merge it removes is the
     // difference between finishing and not. The sketch flavor (GK
