@@ -2399,9 +2399,11 @@ object LlmOps {
     * caller owns the density knob: production pairs this with
     * `ops.Ivf.build(embeddings, k ∝ N)` (bounded cell occupancy keeps
     * the pair space linear in the corpus — measured in SCALE.md's sf1
-    * sweep); the `llm_semantic_dedup` query wires the testdata `label`
-    * column instead so the DuckDB oracle can replay the assignment
-    * (fixed k = 10, quadratic in density — the documented trade). */
+    * sweep); the `llm_semantic_dedup` query wires
+    * [[graft.ops.CosineLsh.signKey]] cells instead — a deterministic
+    * sign-sketch hash grid whose cell count derives from count(*) in
+    * both engines, so the DuckDB oracle replays the scaled assignment
+    * (r10 VERDICT #2; a k-means run is not oracle-replayable). */
   private[graft] def semanticDedup(s: org.apache.spark.sql.SparkSession,
       vectors: org.apache.spark.sql.DataFrame, tauMilli: Int)
       : org.apache.spark.sql.DataFrame = {
