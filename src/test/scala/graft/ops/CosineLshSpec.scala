@@ -39,4 +39,49 @@ class CosineLshSpec extends SparkSpec {
     assert(fine < coarse,
       s"2^6 buckets must prune harder than 2^2 (got $fine vs $coarse)")
   }
+
+  test("derivedBits: integer threshold chain, one bit per doubling, capped") {
+    import CosineLsh.derivedBits
+    // exactly at a threshold stays below it; one row past it crosses
+    assert(derivedBits(0) == 6 && derivedBits(2000) == 6)
+    assert(derivedBits(2001) == 7 && derivedBits(4000) == 7)
+    assert(derivedBits(4001) == 8)
+    assert(derivedBits(20000) == 10) // the sf1 corpus
+    assert(derivedBits(Long.MaxValue) == 16, "saturates at the cap")
+    // monotone non-decreasing (sampled)
+    val pts = Seq(1L, 100, 2000, 2001, 5000, 50000, 1000000, 100000000)
+    assert(pts.zip(pts.tail).forall { case (a, b) =>
+      derivedBits(a) <= derivedBits(b) })
+    // the SQL chain is the same rule (evaluate the CASE chain in Scala)
+    def sqlBits(n: Long): Int =
+      6 + (0 until 10).count(k => n > (2000L << k))
+    assert(pts.forall(n => derivedBits(n) == sqlBits(n)))
+  }
+
+  test("wider planeStride: keys are prefixes — candidates shrink monotonically") {
+    // with a fixed stride, the band key at b bits is a PREFIX of the key
+    // at b+1 bits, so candidate sets must be nested (what lets a static
+    // oracle compute stride bits and truncate to the derived width)
+    val (corpus, _) = planted
+    val c6 = CosineLsh.candidates(corpus, bitsPerBand = 6, nBands = 2,
+      planeStride = 16).as[(Long, Long)].collect().toSet
+    val c8 = CosineLsh.candidates(corpus, bitsPerBand = 8, nBands = 2,
+      planeStride = 16).as[(Long, Long)].collect().toSet
+    assert(c8.subsetOf(c6), s"${(c8 -- c6).size} pairs appeared at 8 bits")
+    assert(c8.size < c6.size)
+  }
+
+  test("signKey: deterministic hash grid, 2^bits cells, '' at bits = 0") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k3 = CosineLsh.signKey(e, 3).as[(Long, String)].collect().toMap
+    assert(k3.values.forall(k => k.length == 3 && k.forall(c => c == '0' || c == '1')))
+    assert(k3.values.toSet.size <= 8)
+    // deterministic across runs
+    assert(CosineLsh.signKey(e, 3).as[(Long, String)].collect().toMap == k3)
+    // 4-bit keys extend 3-bit keys (prefix property, same plane sequence)
+    val k4 = CosineLsh.signKey(e, 4).as[(Long, String)].collect().toMap
+    assert(k3.forall { case (id, k) => k4(id).startsWith(k) })
+    val k0 = CosineLsh.signKey(e, 0).as[(Long, String)].collect().toMap
+    assert(k0.values.forall(_ == ""))
+  }
 }
