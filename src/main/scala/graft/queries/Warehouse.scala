@@ -183,7 +183,14 @@ object Warehouse {
     // let each engine deal tied rows to different buckets.
     // percent_rank/cume_dist are rank-based rational divisions — the
     // same integer operands divide to bit-identical doubles in both
-    // engines.
+    // engines. Scale note: this query EXISTS to exercise Spark's
+    // window-function suite on its native operator, and a window over
+    // a fixed-cardinality segment key serializes each segment at the
+    // merge — at corpus scale the rank-derivable members (pos,
+    // quartile, pr, cd) move to ops.ExactRank arithmetic over `cum`/`n`
+    // the way llm_ppl_buckets/llm_shuffle_shards do, and lag becomes a
+    // self-join on (seg, cum-1); kept in window form here as the
+    // operator-coverage row for the five functions themselves.
     "q16_window_suite" -> QueryDef(
       doc = "ranking windows: ntile/percent_rank/cume_dist/lag, one sort",
       oracle = """
