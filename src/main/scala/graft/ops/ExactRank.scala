@@ -47,9 +47,25 @@ object ExactRank {
     * `order`-sort order within `group` — and `n`, the group's total
     * weight (both BIGINT). With `weight = lit(1L)` and a unique order
     * key, `cum` IS `row_number()` over the group. Input must not
-    * already carry `cum`, `n`, or `_pid`/`_w`/`_cumloc`/`_pw`/`_off`
-    * columns. `keepPid` exposes the range-partition id (`_pid`) for
-    * tests asserting that a group spans >1 partition. */
+    * already carry `cum`, `n`, or `_pid`/`_pid2`/`_g`/`_w`/`_cumloc`/
+    * `_pw`/`_off` columns. `keepPid` exposes the range-partition id
+    * (`_pid`) for tests asserting that a group spans >1 partition.
+    *
+    * NULL handling (r11 ADVICE): a NULL `group` is kept as its own
+    * group — the offset join is null-safe (`<=>`), mirroring
+    * `Window.partitionBy`, which treats NULL as one partition — and a
+    * NULL `weight` counts as 0. The one deliberate divergence from a
+    * bare `sum(w).over(window)`: rows before the group's first
+    * non-null weight get `cum = 0`, where the window would emit NULL
+    * (running-count semantics beat null-propagation for every rank
+    * use; pass pre-coalesced weights if NULL-propagation is wanted).
+    *
+    * Lifecycle: the two pinned checkpoints below are released at the
+    * caller's next [[Releases.drain]] — the returned DataFrame still
+    * READS those blocks, so it must be fully materialized (an action
+    * run on it) BEFORE drain() is called, exactly like the note on
+    * [[Releases.drain]] itself (r11 ADVICE). Verify/Bench/Probe all
+    * drain only after each query's action. */
   def prefixSum(df: DataFrame, group: String, order: Seq[Column],
       weight: Column, keepPid: Boolean = false): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -72,7 +88,8 @@ object ExactRank {
     // materialized in a Project BEFORE anything else references it
     // (attribute references are fine where raw nondeterministic
     // expressions are rejected).
-    val in = df.withColumn("_w", weight.cast("long")).localCheckpoint(false)
+    val in = df.withColumn("_w", coalesce(weight.cast("long"), lit(0L)))
+      .localCheckpoint(false)
     val rp = in
       .repartitionByRange(p, rangeKeys: _*)
       .withColumn("_pid", spark_partition_id())
@@ -112,9 +129,14 @@ object ExactRank {
       .withColumn("_off", coalesce(sum(col("_pw")).over(wOff), lit(0L)))
       .withColumn("n", sum(col("_pw")).over(wTot))
       .select(col("_pid"), col(group), col("_off"), col("n"))
-    val joined = loc.join(broadcast(offs), Seq("_pid", group))
+    // null-safe on the group key: a plain equi-join would silently DROP
+    // every NULL-group row that Window.partitionBy keeps (r11 ADVICE)
+    val offsR = offs.withColumnRenamed("_pid", "_pid2")
+      .withColumnRenamed(group, "_g")
+    val joined = loc.join(broadcast(offsR),
+        loc("_pid") === offsR("_pid2") && loc(group) <=> offsR("_g"))
       .withColumn("cum", col("_cumloc") + col("_off"))
-      .drop("_w", "_cumloc", "_off")
+      .drop("_w", "_cumloc", "_off", "_pid2", "_g")
     if (keepPid) joined else joined.drop("_pid")
   }
 }

@@ -46,7 +46,13 @@ object Ivf {
     * centroid), and [[release]], which unpersists the localCheckpoint
     * blocks backing the build — without it a long-lived session
     * accumulates one checkpointed copy of the vector corpus per
-    * `build` call. Call it once the index is no longer queried. */
+    * `build` call. Call it once the index is no longer queried.
+    *
+    * `release()` invalidates BOTH members: since the r11 de-drivered
+    * multi-pass build, `centroids` (like `assignments`) is backed by
+    * checkpoint blocks the handle frees — it is no longer the
+    * driver-local relation of earlier rounds that survived release
+    * (r11 ADVICE). Consume both DataFrames before releasing. */
   final case class Index(assignments: DataFrame, centroids: DataFrame,
       release: () => Unit)
 

@@ -80,6 +80,42 @@ class ExactRankSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("NULL group rows are kept as their own group (window parity)") {
+    // r11 ADVICE: a plain equi-join dropped NULL-group rows that
+    // Window.partitionBy keeps as one partition. Mixed null/non-null
+    // groups, unique tie-break id; null-safe offset join must rank the
+    // NULL group exactly like the window does.
+    val rows = (0 until 300).map { i =>
+      (if (i % 3 == 0) null else s"g${i % 4}", (i * 37 % 100).toLong, i.toLong)
+    }
+    val df = rows.toDF("lang", "score", "id")
+    val got = ExactRank.prefixSum(df, "lang", Seq(desc("score"), asc("id")), lit(1L))
+      .select($"lang", $"id", $"cum", $"n")
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy("lang").orderBy(desc("score"), asc("id"))
+    val want = df
+      .withColumn("cum", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .select($"lang", $"id", $"cum", $"n")
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    assert(got.count(_._1.isEmpty) == 100)
+    assert(got == want)
+  }
+
+  test("NULL weights count as 0 instead of NPE-ing or dropping rows") {
+    val df = Seq(("a", 1L, Some(5L)), ("a", 2L, None), ("a", 3L, Some(2L)),
+      ("b", 1L, None), ("b", 2L, Some(7L)))
+      .toDF("lang", "id", "wt")
+    val got = ExactRank.prefixSum(df, "lang", Seq(asc("id")), col("wt"))
+      .select($"lang", $"id", $"cum", $"n")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // running-count semantics: null weight contributes 0 (scaladoc'd
+    // divergence from a bare sum-window, which would emit NULL before
+    // the first non-null weight)
+    assert(got == Set(("a", 1L, 5L, 7L), ("a", 2L, 5L, 7L), ("a", 3L, 7L, 7L),
+      ("b", 1L, 0L, 7L), ("b", 2L, 7L, 7L)))
+  }
+
   test("empty input yields empty output with the cum/n columns") {
     val df = Seq.empty[(String, Long, Long)].toDF("lang", "score", "id")
     val out = ExactRank.prefixSum(df, "lang", Seq(asc("score")), lit(1L))
