@@ -190,7 +190,9 @@ object Warehouse {
     // quartile, pr, cd) move to ops.ExactRank arithmetic over `cum`/`n`
     // the way llm_ppl_buckets/llm_shuffle_shards do, and lag becomes a
     // self-join on (seg, cum-1); kept in window form here as the
-    // operator-coverage row for the five functions themselves.
+    // operator-coverage row for the five functions themselves. That
+    // scale path is no longer prose: q16b_window_suite_scale below
+    // ships it against the SAME oracle (r11 VERDICT #2).
     "q16_window_suite" -> QueryDef(
       doc = "ranking windows: ntile/percent_rank/cume_dist/lag, one sort",
       oracle = """
@@ -219,6 +221,73 @@ object Warehouse {
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"),
           (cents - lag(cents, 1, 0).over(w)).as("step_cents"))
+    },
+
+    // q16's SCALE TWIN (r11 VERDICT #2): the same four ranking
+    // functions — row_number / ntile(4) / percent_rank / cume_dist —
+    // and the lag step, against the SAME window oracle, but computed
+    // from ops.ExactRank.prefixSum `cum`/`n` arithmetic instead of a
+    // Window operator. The window form serializes each segment through
+    // one task at the rank merge; here every task sorts one range
+    // partition (~N/P rows) regardless of segment skew, and the rank
+    // functions are per-row arithmetic over (cum, n):
+    //   pos      = cum                       (unit weight, unique order)
+    //   ntile(4) = the first n%4 buckets take n div 4 + 1 rows (integer
+    //              `div` arithmetic — exact at any n, no double floor)
+    //   pr       = (cum-1)/(n-1), 0.0 for the n=1 segment
+    //   cd       = cum/n          (unique ordering => rank = pos)
+    //   lag      = an equi self-join on (seg, cum-1) — both sides
+    //              shuffle once on (seg, cum), no window state at all
+    // A green row here PROVES the scaladoc'd q16 scale path computes
+    // the identical answer; q16 stays as the native-window coverage row.
+    "q16b_window_suite_scale" -> QueryDef(
+      doc = "q16 via ExactRank cum/n arithmetic + lag self-join (scale form)",
+      oracle = """
+        |SELECT c_custkey, c_mktsegment AS seg,
+        |       CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |       CAST(row_number() OVER w AS BIGINT) AS pos,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       CAST(round(c_acctbal * 100) AS BIGINT)
+        |         - lag(CAST(round(c_acctbal * 100) AS BIGINT), 1, 0) OVER w
+        |         AS step_cents
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey)
+        |ORDER BY seg, pos
+        |""") { (s, d) =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val ranked = graft.ops.ExactRank.prefixSum(base, "seg",
+        Seq(asc("cents"), asc("c_custkey")), lit(1L))
+      // `div` (integer division) never leaves the integer domain, so
+      // bucket math is exact past double precision; the n<4 `_q = 0`
+      // case never reaches the otherwise-branch division (all rows fall
+      // inside the big buckets and CaseWhen evaluates lazily per row)
+      val arith = ranked
+        .withColumn("_q", expr("n div 4"))
+        .withColumn("_r", col("n") % 4)
+        .withColumn("_big", col("_q") + 1)
+        .withColumn("_cut", col("_r") * col("_big"))
+        .withColumn("pos", col("cum"))
+        .withColumn("quartile",
+          when(col("cum") <= col("_cut"), expr("(cum - 1) div _big") + 1)
+            .otherwise(col("_r") + expr("(cum - 1 - _cut) div _q") + 1)
+            .cast("long"))
+        .withColumn("pr",
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("cum") - 1).cast("double")
+              / (col("n") - 1).cast("double")))
+        .withColumn("cd", col("cum").cast("double") / col("n").cast("double"))
+      val prev = arith.select(col("seg").as("_pseg"),
+        (col("cum") + 1).as("_pcum"), col("cents").as("_pcents"))
+      arith.join(prev,
+          col("seg") === col("_pseg") && col("cum") === col("_pcum"), "left")
+        .select(col("c_custkey"), col("seg"), col("cents"), col("pos"),
+          col("quartile"), col("pr"), col("cd"),
+          (col("cents") - coalesce(col("_pcents"), lit(0L))).as("step_cents"))
     },
 
     // Relational set operations: INTERSECT / EXCEPT / UNION with
