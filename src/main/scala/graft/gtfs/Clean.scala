@@ -48,11 +48,12 @@ object Clean {
     * the reference's `sponge` materialization barrier
     * (/root/reference/import.sh:131) — bounding plan depth to one stage
     * and computing each stage once (the checkpointed RDD is shared by
-    * all downstream references). On a multi-tenant cluster swap
-    * localCheckpoint for reliable `checkpoint` (HDFS-backed) — same
-    * structure, executor-loss-safe. */
+    * all downstream references). On a multi-tenant cluster set
+    * `spark.graft.checkpointDir` and [[graft.ops.Checkpoints.pin]]
+    * switches every barrier to a reliable `checkpoint` (HDFS-backed) —
+    * same structure, executor-loss-safe. */
   private def barrier(feed: Feed): Feed =
-    feed.map { case (n, df) => n -> df.localCheckpoint(false) }
+    feed.map { case (n, df) => n -> graft.ops.Checkpoints.pin(df) }
 
   /** Run the enabled stages in the reference's order. */
   def apply(feed: Feed, cfg: Config = Config())(implicit spark: SparkSession): Feed = {

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.PinSyntax
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -59,10 +60,10 @@ object Bfs {
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint(false)
+      .pin(false)
     val f0 = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("d"))
-      .localCheckpoint(false)
+      .pin(false)
     var layers = List(f0) // newest first; all checkpointed (the result)
     var extra = List.empty[DataFrame] // the final empty expansion
     // the ONE settled-id snapshot the anti-join reads — re-folded each
@@ -72,7 +73,7 @@ object Bfs {
     // blocks — one extra |settled|-row write per round, the documented
     // trade), so a superseded snapshot can only be released one round
     // LATER, once the fold that reads it has materialized.
-    var settled = f0.select("id").localCheckpoint(false)
+    var settled = f0.select("id").pin(false)
     var superseded: DataFrame = null
     var frontier = f0
     var n = frontier.count()
@@ -88,7 +89,7 @@ object Bfs {
         .select(col("dst").as("id"), (col("d") + lit(1L)).as("d"))
         .groupBy("id").agg(min("d").as("d"))
         .join(settled, Seq("id"), "left_anti")
-        .localCheckpoint(false)
+        .pin(false)
       // the round's ONLY action: materializes the layer's checkpoint
       // blocks, the settled fold it anti-joins against, and the
       // termination guard in one job
@@ -98,7 +99,7 @@ object Bfs {
       if (superseded != null) { Checkpoints.release(superseded); superseded = null }
       if (n > 0) {
         superseded = settled
-        settled = settled.unionByName(next.select("id")).localCheckpoint(false)
+        settled = settled.unionByName(next.select("id")).pin(false)
         layers ::= next
         frontier = next
       } else extra ::= next

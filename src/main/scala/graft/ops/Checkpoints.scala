@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-cut snapshots for the iterative operators (Components, Bfs,
+  * Sssp, ExactRank, multi-pass Ivf) and the Clean stage barriers, with
+  * a conf-gated durability mode (r11 VERDICT #6).
+  *
+  * Default ([[pin]] with no conf): `localCheckpoint` — blocks live in
+  * executor storage. The right local-mode trade (no filesystem
+  * round-trip), but NOT tolerant to executor loss: a lost block kills
+  * the query, because the lineage behind a local checkpoint is
+  * truncated. Fine on local[32]; a real 1000-executor run should not
+  * gamble a 40-round fixpoint on zero executor churn.
+  *
+  * Cluster mode: set `spark.graft.checkpointDir` (session conf) to an
+  * HDFS/S3 path and every [[pin]] becomes a RELIABLE `checkpoint` to
+  * that directory — snapshots survive executor loss and recovery reads
+  * them back instead of failing the query. Semantics are otherwise
+  * identical (ReliableCheckpointSpec proves result equality under both
+  * modes). Costs, so the default stays local: one filesystem write per
+  * snapshot, and a LAZY reliable checkpoint recomputes its RDD once
+  * more to write the files after the first materializing job (shuffle
+  * reads are reused, so the recompute is the narrow tail only — and
+  * deterministic, which matters for the pid-stamped ExactRank
+  * relation: same shuffle output, same partition ids).
+  *
+  * [[release]] handles both modes: it unpersists block-manager blocks
+  * (local mode) and deletes the checkpoint files (reliable mode), so
+  * iterative ops don't leak one snapshot per round into the
+  * checkpoint dir. */
+private[graft] object Checkpoints {
+
+  /** Drop-in chain syntax: `df.pin(eager)` ≡ [[pin]](df, eager), so
+    * call sites read like the localCheckpoint chains they replace. */
+  implicit final class PinSyntax(private val df: DataFrame) extends AnyVal {
+    def pin(eager: Boolean = false): DataFrame = Checkpoints.pin(df, eager)
+  }
+
+  /** Snapshot `df`, cutting lineage: local by default, reliable when
+    * `spark.graft.checkpointDir` is set. `eager` as in
+    * Dataset.checkpoint — iterative call sites pass false and let the
+    * round's single action materialize the snapshot. */
+  // last conf value pushed to SparkContext.setCheckpointDir — the
+  // context stores dir + a UUID subdir, so the conf string can't be
+  // compared against getCheckpointDir to detect a change
+  private var lastDir: String = null
+
+  def pin(df: DataFrame, eager: Boolean = false): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty || lastDir != dir) {
+          sc.setCheckpointDir(dir); lastDir = dir
+        }
+        df.checkpoint(eager)
+      case _ => df.localCheckpoint(eager)
+    }
+
+  /** Unpersist the block-manager blocks behind a checkpoint'd
+    * DataFrame: its analyzed plan is a LogicalRDD over the persisted
+    * RDD — `Dataset.unpersist` only covers cacheManager entries and
+    * silently no-ops on checkpoint blocks. In reliable mode the blocks
+    * live as files instead; delete them (the RDD's checkpoint file dir)
+    * so long sessions don't grow the checkpoint dir one snapshot per
+    * round.
+    *
+    * `blocking = false` for mid-query releases of superseded snapshots
+    * (no barrier inside a timed loop); `blocking = true` for the
+    * end-of-query handles that run at [[Releases.drain]], so memory is
+    * actually freed — and observably gone from `getPersistentRDDs` —
+    * when drain returns. */
+  def release(df: DataFrame, blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking)
+        lr.rdd.getCheckpointFile.foreach { path =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(path)
+            p.getFileSystem(lr.rdd.context.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case _: java.io.IOException => () } // best-effort
+        }
+      case _ => ()
+    }
+}

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.PinSyntax
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -57,9 +58,9 @@ object Components {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val e = sym.unionByName(sym.select(col("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(false) // lazy: round 1 below materializes it
+      .pin(false) // lazy: round 1 below materializes it
     var labelsCp = e.groupBy("src").agg(min("dst").as("label"))
-      .localCheckpoint(false)
+      .pin(false)
     var labels = labelsCp // (src, label) view of the current checkpoint
     var iter = 1
     var changed = 1L
@@ -89,14 +90,14 @@ object Components {
         // consumes it on both sides; its blocks release right after the
         // count materializes the jumped snapshot. Left join + coalesce
         // is pure defense — every label IS a node id with a row.
-        val prop = prop0.localCheckpoint(false)
+        val prop = prop0.pin(false)
         propCp = Some(prop)
         prop.join(
             prop.select(col("src").as("label"), col("label").as("label2")),
             Seq("label"), "left")
           .select(col("src"),
             coalesce(col("label2"), col("label")).as("label"), col("prev"))
-      }).localCheckpoint(false)
+      }).pin(false)
       // this count is the round's ONLY action: it materializes next's
       // checkpoint blocks and computes the convergence guard in one job
       changed = next.where(col("label") < col("prev")).count()
@@ -115,21 +116,5 @@ object Components {
   }
 }
 
-/** Unpersist the block-manager blocks behind a localCheckpoint'd
-  * DataFrame: its analyzed plan is a LogicalRDD over the persisted RDD —
-  * `Dataset.unpersist` only covers cacheManager entries and silently
-  * no-ops on checkpoint blocks.
-  *
-  * `blocking = false` for mid-query releases of superseded snapshots
-  * (no barrier inside a timed loop); `blocking = true` for the
-  * end-of-query handles that run at [[Releases.drain]], so memory is
-  * actually freed — and observably gone from `getPersistentRDDs` —
-  * when drain returns. */
-private[ops] object Checkpoints {
-  def release(df: DataFrame, blocking: Boolean = false): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking)
-      case _ => ()
-    }
-}
+// Checkpoints (the snapshot/release helper these ops share) lives in
+// ops/Checkpoints.scala since the r12 conf-gated reliable mode.

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.PinSyntax
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -89,11 +90,11 @@ object ExactRank {
     // (attribute references are fine where raw nondeterministic
     // expressions are rejected).
     val in = df.withColumn("_w", coalesce(weight.cast("long"), lit(0L)))
-      .localCheckpoint(false)
+      .pin(false)
     val rp = in
       .repartitionByRange(p, rangeKeys: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(false)
+      .pin(false)
     Releases.defer(() => {
       Checkpoints.release(in, blocking = true)
       Checkpoints.release(rp, blocking = true)

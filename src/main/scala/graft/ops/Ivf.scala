@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.PinSyntax
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -129,7 +130,7 @@ object Ivf {
     val vectors = embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding_d"))
       .repartition(col("vec_id"))
-      .localCheckpoint(false)
+      .pin(false)
     // seeds stay DISTRIBUTED (r10 VERDICT #4: with the production knob
     // k ∝ N, per-iteration k-row driver materializations make the
     // build driver-bound at corpus scale — k~10⁶ × dim doubles per
@@ -141,7 +142,7 @@ object Ivf {
     var centroids = vectors.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cell"),
         col("embedding_d").as("centroid"))
-      .localCheckpoint(true)
+      .pin(true)
     val snapshots = scala.collection.mutable.ListBuffer(centroids)
     var assigned = assign(vectors, centroids)
     (1 to iterations).foreach { _ =>
@@ -158,7 +159,7 @@ object Ivf {
       // the final pass's blocks, the k-row intermediates are
       // negligible next to the vector corpus, and release() drops
       // them all.
-      centroids = refine(assigned).localCheckpoint(true)
+      centroids = refine(assigned).pin(true)
       snapshots += centroids
       assigned = assign(vectors, centroids)
     }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.PinSyntax
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -69,10 +70,10 @@ object Sssp {
       .unionByName(seeds.select(col("id").as("src"), col("id").as("dst"),
         lit(0L).as("w")))
       .groupBy("src", "dst").agg(min("w").as("w"))
-      .localCheckpoint(false)
+      .pin(false)
     var distCp = seeds.select(col("id")).distinct()
       .select(col("id").as("node"), lit(0L).as("d"))
-      .localCheckpoint(false)
+      .pin(false)
     var dist = distCp
     var iter = 0
     var improved = 1L
@@ -87,7 +88,7 @@ object Sssp {
         .groupBy(col("dst").as("node"))
         .agg(min(col("d") + col("w")).as("d"),
           min(when(col("dst") === col("src"), col("d"))).as("prev"))
-        .localCheckpoint(false)
+        .pin(false)
       improved = next.where(col("prev").isNull || col("d") < col("prev")).count()
       Checkpoints.release(distCp)
       distCp = next
