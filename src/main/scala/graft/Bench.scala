@@ -22,10 +22,11 @@ import org.apache.spark.sql.SparkSession
   * This virtualized host shows ±30-50% run-to-run variance (r7's driver
   * sample read 170 s where four calm-box runs read 36-45 s), so a
   * single one-shot number cannot defend itself. Each query is therefore
-  * timed TWICE back-to-back: `queries` keeps the one-shot first-run
-  * numbers (and their sum stays the headline `value`, for continuity
-  * with BENCH_r1..r7), while `steady` carries the second iteration —
-  * JIT/codegen already rammed, so it approximates the Probe steady
+  * timed repeatedly: `queries` keeps the one-shot first-run numbers
+  * (and their sum stays the headline `value`, for continuity with
+  * BENCH_r1..r7), while `steady` carries the best of two further
+  * iterations (r12; see [[awaitIdle]]) — JIT/codegen already rammed,
+  * so it approximates the Probe steady
   * state — and `loadavg_start`/`loadavg_end` stamp host contention. A
   * reader seeing first≫steady at high loadavg can attribute the gap to
   * the host, not the engine, without re-running anything.
@@ -34,6 +35,25 @@ object Bench {
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
     catch { case _: Throwable => "" }
+
+  private def loadavg1(): Double =
+    try loadavg().split(" ")(0).toDouble catch { case _: Throwable => 0.0 }
+
+  /** Round-12 protocol (r11 VERDICT #7): the round-11 driver artifact
+    * was taken at loadavg 3.01 and overstated the suite by ~13% vs
+    * seven same-build idle-box runs. Two defenses, both in-process so
+    * the DRIVER's artifact carries them without any driver change:
+    * wait (bounded) for the host to go idle before the timed windows
+    * start, and take the per-query steady number as the BEST of two
+    * post-warm iterations — contention is strictly additive noise, so
+    * min is the estimator that converges on the engine's number. */
+  private def awaitIdle(maxWaitSec: Int = 180): Unit = {
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    while (loadavg1() >= 1.0 && System.nanoTime() < deadline) {
+      System.err.println(s"[bench] loadavg ${loadavg()} >= 1.0 — waiting for idle host")
+      Thread.sleep(15000)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,6 +71,7 @@ object Bench {
 
     // Untimed warmup of the shared codegen shapes (see graft.Warmup).
     Warmup.run(spark, sfDir)
+    awaitIdle()
 
     val loadStart = loadavg()
     var failures = List.empty[String]
@@ -74,9 +95,15 @@ object Bench {
       System.gc()
       if (ok) Some(sec) else None
     }
+    // steady = BEST of two post-warm iterations (r11 VERDICT #7): a
+    // contended host only ever ADDS time, so min-of-2 tracks the
+    // engine where a single sample tracks the box. Both must succeed
+    // for the query to count as ok (min of one failure = None).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = timed(name, fn)
-      val steady = timed(name, fn)
+      val s1 = timed(name, fn)
+      val s2 = timed(name, fn)
+      val steady = for (a <- s1; b <- s2) yield math.min(a, b)
       (name, first, steady)
     }
     val loadEnd = loadavg()
@@ -101,7 +128,7 @@ object Bench {
     val nOk = results.count(r => r._2.isDefined && r._3.isDefined)
     val nOkFirst = results.count(_._2.isDefined)
     val nOkSteady = results.count(_._3.isDefined)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_failed":${results.length - nOk},"n_ok_first":$nOkFirst,"n_ok_steady":$nOkSteady,"queries":$qs,"steady":$st,"steady_total":$steadyTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_failed":${results.length - nOk},"n_ok_first":$nOkFirst,"n_ok_steady":$nOkSteady,"protocol":"steady=min of 2 post-warm runs; idle-wait before timing (r12)","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
