@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""sf1 correctness gate (r11 VERDICT #1): the driver-format compare of
+"""Scale-sweep correctness gate (r11 VERDICT #1): the driver-format compare of
 verify_local.py, plus a ROUND-MATERIALIZED oracle for
 llm_cluster_fixpoint — its shipped recursive-transitive-closure oracle
 is quadratic in DuckDB (>55 CPU-min at sf1, r11) while one min-label
@@ -115,7 +115,7 @@ print(f"\n{npass} pass / {len(fails)} fail")
 
 if res_path:
     results["_meta"] = {
-        "sf_dir": f"{sf_dir} (tools/gen_sfn.py, 10-fold key-shifted "
+        "sf_dir": f"{sf_dir} (tools/gen_sfn.py, key-shifted "
                   "replication of sf0.1)",
         "round": 12,
         "note": "r11 VERDICT #1: llm_cluster_fixpoint now checked at sf1 "
