@@ -67,6 +67,42 @@ object ExactRank {
     * run on it) BEFORE drain() is called, exactly like the note on
     * [[Releases.drain]] itself (r11 ADVICE). Verify/Bench/Probe all
     * drain only after each query's action. */
+  /** Ranking-window equivalents as pure arithmetic over the `cum`/`n`
+    * columns [[prefixSum]] emits (unit weight, unique order key — so
+    * `cum` IS row_number and rank): the scale rewrite for
+    * fixed-cardinality-partition windows documented on
+    * q16_window_suite and shipped by q16b_window_suite_scale. All
+    * integer operands stay in the integer domain (`div`, never a
+    * double floor), so results are exact past 2^53; the two rational
+    * functions divide the same integers both engines do, giving
+    * bit-identical doubles. ExactRankSpec pins each against the native
+    * window on groups of size 1..7 (the dealing-rule and n=1 edges a
+    * corpus-sized oracle never exercises). */
+
+  /** ntile(k): Spark/SQL's dealing rule — the first n%k buckets take
+    * (n div k)+1 rows. The n<k case never evaluates the
+    * otherwise-branch `div (n div k)` (all rows fall in the big
+    * buckets and CaseWhen evaluates lazily per row), so the 0 divisor
+    * is unreachable, ANSI mode included. */
+  def ntileExpr(k: Int): Column = {
+    require(k >= 1)
+    when(col("cum") <= (col("n") % k) * (expr(s"n div $k") + 1),
+      expr(s"(cum - 1) div (n div $k + 1)") + 1)
+      .otherwise(col("n") % k +
+        expr(s"(cum - 1 - (n % $k) * (n div $k + 1)) div (n div $k)") + 1)
+      .cast("long")
+  }
+
+  /** percent_rank(): (rank-1)/(n-1) with the SQL-mandated 0.0 for a
+    * single-row group. */
+  def percentRankExpr: Column =
+    when(col("n") === 1, lit(0.0))
+      .otherwise((col("cum") - 1).cast("double") / (col("n") - 1).cast("double"))
+
+  /** cume_dist() under a total order (rank = row position): cum/n. */
+  def cumeDistExpr: Column =
+    col("cum").cast("double") / col("n").cast("double")
+
   def prefixSum(df: DataFrame, group: String, order: Seq[Column],
       weight: Column, keepPid: Boolean = false): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions

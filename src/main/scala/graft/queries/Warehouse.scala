@@ -262,25 +262,14 @@ object Warehouse {
           round(col("c_acctbal") * 100).cast("long").as("cents"))
       val ranked = graft.ops.ExactRank.prefixSum(base, "seg",
         Seq(asc("cents"), asc("c_custkey")), lit(1L))
-      // `div` (integer division) never leaves the integer domain, so
-      // bucket math is exact past double precision; the n<4 `_q = 0`
-      // case never reaches the otherwise-branch division (all rows fall
-      // inside the big buckets and CaseWhen evaluates lazily per row)
+      // rank functions = ops.ExactRank cum/n arithmetic (integer `div`
+      // dealing rule, exact past double precision; edge groups of size
+      // 1..7 pinned against native windows in ExactRankSpec)
       val arith = ranked
-        .withColumn("_q", expr("n div 4"))
-        .withColumn("_r", col("n") % 4)
-        .withColumn("_big", col("_q") + 1)
-        .withColumn("_cut", col("_r") * col("_big"))
         .withColumn("pos", col("cum"))
-        .withColumn("quartile",
-          when(col("cum") <= col("_cut"), expr("(cum - 1) div _big") + 1)
-            .otherwise(col("_r") + expr("(cum - 1 - _cut) div _q") + 1)
-            .cast("long"))
-        .withColumn("pr",
-          when(col("n") === 1, lit(0.0))
-            .otherwise((col("cum") - 1).cast("double")
-              / (col("n") - 1).cast("double")))
-        .withColumn("cd", col("cum").cast("double") / col("n").cast("double"))
+        .withColumn("quartile", graft.ops.ExactRank.ntileExpr(4))
+        .withColumn("pr", graft.ops.ExactRank.percentRankExpr)
+        .withColumn("cd", graft.ops.ExactRank.cumeDistExpr)
       val prev = arith.select(col("seg").as("_pseg"),
         (col("cum") + 1).as("_pcum"), col("cents").as("_pcents"))
       arith.join(prev,

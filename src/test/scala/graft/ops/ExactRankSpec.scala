@@ -116,6 +116,30 @@ class ExactRankSpec extends SparkSpec {
       ("b", 1L, 0L, 7L), ("b", 2L, 7L, 7L)))
   }
 
+  test("rank-function arithmetic matches native windows on edge-size groups") {
+    // groups of size 1..7: the ntile dealing rule (first n%k buckets
+    // one bigger), the percent_rank n=1 zero, and the n<k unreachable
+    // zero-divisor branch (ANSI mode would throw if it ever evaluated)
+    val rows = (1 to 7).flatMap(size =>
+      (0 until size).map(i => (s"g$size", (i * 13 % 7).toLong, i.toLong)))
+    val df = rows.toDF("grp", "score", "id")
+    val got = ExactRank.prefixSum(df, "grp", Seq(asc("score"), asc("id")), lit(1L))
+      .select($"grp", $"id", $"cum",
+        ExactRank.ntileExpr(4).as("nt"),
+        ExactRank.percentRankExpr.as("pr"),
+        ExactRank.cumeDistExpr.as("cd"))
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSet
+    val w = Window.partitionBy("grp").orderBy(asc("score"), asc("id"))
+    val want = df
+      .withColumn("cum", row_number().over(w).cast("long"))
+      .withColumn("nt", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select($"grp", $"id", $"cum", $"nt", $"pr", $"cd")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("empty input yields empty output with the cum/n columns") {
     val df = Seq.empty[(String, Long, Long)].toDF("lang", "score", "id")
     val out = ExactRank.prefixSum(df, "lang", Seq(asc("score")), lit(1L))
