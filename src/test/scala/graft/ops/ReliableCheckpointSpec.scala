@@ -100,6 +100,23 @@ class ReliableCheckpointSpec extends SparkSpec {
     assert(a == b && a.size == 60)
   }
 
+  test("full queries match under reliable mode (fixpoint, ExactRank, Clean)") {
+    // end-to-end: the three checkpoint-backed query families — the
+    // Components fixpoint, an ExactRank rank pipeline, and the Clean
+    // stage barriers — through the real SparkEntry surface at sf0.001
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("llm_cluster_fixpoint", "llm_ppl_buckets",
+        "c8_minimize_services")) {
+      def run(): Set[String] = {
+        val got = graft.SparkEntry.queries(q)(spark, sf)
+          .collect().map(_.mkString("|")).toSet
+        Releases.drain(); got
+      }
+      val (a, b) = both(run())
+      assert(a == b && a.nonEmpty, s"$q diverged under reliable checkpoints")
+    }
+  }
+
   test("release() deletes reliable-checkpoint files from the dir") {
     withReliable { dir =>
       val l = Components.run(edges)
