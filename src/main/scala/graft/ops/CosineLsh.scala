@@ -65,10 +65,24 @@ object CosineLsh {
       .select(col("vec_id"), (col("pos0") + 1).cast("string").as("i"),
         floor(col("v").cast("double") * 1000000 + 0.5).cast("long").as("vi"))
 
-  /** One ±1 hyperplane sign-sum aggregate for plane `p`. */
+  /** One ±1 hyperplane sign-sum aggregate for plane `p`, reading the
+    * pre-joined boolean `s$p` from [[planeSignTable]]. */
   private def signAgg(p: Int) =
-    sum(when(substring(sha2(col("i"), 256), p + 1, 1) >= "8",
-      col("vi")).otherwise(-col("vi"))).as(s"d$p")
+    sum(when(col(s"s$p"), col("vi")).otherwise(-col("vi"))).as(s"d$p")
+
+  /** Plane signs per DIMENSION: `(i, s0..s63)` where `s$p` =
+    * hex char p+1 of sha256(i) ≥ '8' — the same derivation the DuckDB
+    * oracles compute inline. The sign is a pure function of the
+    * dimension INDEX, whose domain is bounded by the embedding width
+    * (64 here), so it is hashed once per dimension on a distinct-dims
+    * relation and broadcast-joined back — NOT once per (vector,
+    * dimension) row: at sf10 that is 64 sha256s instead of 12.8 M in
+    * the family's hottest stage (r12; the map-side-combined distinct
+    * ships one row per dimension per task). */
+  private def planeSignTable(dims: DataFrame, planes: Seq[Int]): DataFrame =
+    broadcast(dims.select(col("i")).distinct()
+      .select(col("i") +: planes.map(p =>
+        (substring(sha2(col("i"), 256), p + 1, 1) >= "8").as(s"s$p")): _*))
 
   /** `(vec_id, key)` — the first `bits` plane signs as a '0'/'1'
     * string: a DETERMINISTIC hash-grid coarse quantizer (the
@@ -82,7 +96,9 @@ object CosineLsh {
     if (bits == 0)
       return embeddings.select(col("vec_id"), lit("").as("key"))
     val aggs = (0 until bits).map(signAgg)
-    dimRows(embeddings).groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+    val dims = dimRows(embeddings)
+    dims.join(planeSignTable(dims, 0 until bits), "i")
+      .groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
       .select(col("vec_id"), concat((0 until bits).map(p =>
         when(col(s"d$p") > 0, "1").otherwise("0")): _*).as("key"))
   }
@@ -103,7 +119,9 @@ object CosineLsh {
     val planes = (0 until nBands).flatMap(g =>
       (0 until bitsPerBand).map(j => g * stride + j))
     val signAggs = planes.map(signAgg)
-    val signs = dimRows(embeddings).groupBy("vec_id")
+    val dims = dimRows(embeddings)
+    val signs = dims.join(planeSignTable(dims, planes), "i")
+      .groupBy("vec_id")
       .agg(signAggs.head, signAggs.tail: _*)
       .select(col("vec_id") +: planes.map(p =>
         when(col(s"d$p") > 0, "1").otherwise("0").as(s"b$p")): _*)
