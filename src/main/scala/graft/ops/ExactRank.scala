@@ -104,35 +104,44 @@ object ExactRank {
     col("cum").cast("double") / col("n").cast("double")
 
   def prefixSum(df: DataFrame, group: String, order: Seq[Column],
-      weight: Column, keepPid: Boolean = false): DataFrame = {
+      weight: Column, keepPid: Boolean = false,
+      pinInput: Boolean = true): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val rangeKeys = col(group) +: order
-    // TWO checkpoints, each load-bearing (both narrow-row linear
-    // writes, released at the caller's next Releases.drain()):
-    //  - the INPUT: a range exchange executes its child twice (one
-    //    bound-SAMPLING pass, then the shuffle write), so an expensive
-    //    upstream pipeline — llm_ppl_buckets' LM scorer — would run
-    //    2× (measured: 0.9 → 1.9 s steady at sf0.1). Pinning the
-    //    input makes both passes block reads.
-    //  - the SHUFFLED pid-stamped relation: its two consumers below
-    //    must agree on the pids, and RangePartitioner draws its bound
-    //    sample with a seed derived from the shuffle RDD's id — if the
-    //    planner materializes the exchange twice instead of reusing it
-    //    (observed on this very input; exchange reuse is an
-    //    optimization, never a guarantee), the instances pick
-    //    DIFFERENT bounds and the offset join silently corrupts ranks.
+    // TWO checkpoints (both narrow-row linear writes, released at the
+    // caller's next Releases.drain()) — one load-bearing for
+    // correctness, one for cost:
+    //  - the INPUT (`pinInput`, default on): a range exchange executes
+    //    its child twice (one bound-SAMPLING pass, then the shuffle
+    //    write), so an expensive upstream pipeline — llm_ppl_buckets'
+    //    LM scorer — would run 2× (measured: 0.9 → 1.9 s steady at
+    //    sf0.1). Pinning the input makes both passes block reads. A
+    //    COST knob, never correctness: bounds from a second execution
+    //    are still valid split points, and the shuffle write is the
+    //    single authoritative pass. Callers whose input is a cheap
+    //    deterministic scan/projection pass `pinInput = false` and
+    //    skip materializing a corpus-sized snapshot in executor
+    //    storage — at 100 TB that write dwarfs the re-scan it avoids.
+    //  - the SHUFFLED pid-stamped relation — ALWAYS pinned: its two
+    //    consumers below must agree on the pids, and RangePartitioner
+    //    draws its bound sample with a seed derived from the shuffle
+    //    RDD's id — if the planner materializes the exchange twice
+    //    instead of reusing it (observed on this very input; exchange
+    //    reuse is an optimization, never a guarantee), the instances
+    //    pick DIFFERENT bounds and the offset join silently corrupts
+    //    ranks.
     // spark_partition_id is nondeterministic-flagged, so it is
     // materialized in a Project BEFORE anything else references it
     // (attribute references are fine where raw nondeterministic
     // expressions are rejected).
-    val in = df.withColumn("_w", coalesce(weight.cast("long"), lit(0L)))
-      .pin(false)
+    val weighted = df.withColumn("_w", coalesce(weight.cast("long"), lit(0L)))
+    val in = if (pinInput) weighted.pin(false) else weighted
     val rp = in
       .repartitionByRange(p, rangeKeys: _*)
       .withColumn("_pid", spark_partition_id())
       .pin(false)
     Releases.defer(() => {
-      Checkpoints.release(in, blocking = true)
+      if (pinInput) Checkpoints.release(in, blocking = true)
       Checkpoints.release(rp, blocking = true)
     })
     // running totals: narrow per-partition scan over the range-sorted
