@@ -118,10 +118,14 @@ object ExactRank {
     //    sf0.1). Pinning the input makes both passes block reads. A
     //    COST knob, never correctness: bounds from a second execution
     //    are still valid split points, and the shuffle write is the
-    //    single authoritative pass. Callers whose input is a cheap
-    //    deterministic scan/projection pass `pinInput = false` and
-    //    skip materializing a corpus-sized snapshot in executor
-    //    storage — at 100 TB that write dwarfs the re-scan it avoids.
+    //    single authoritative pass. `pinInput = false` trades the
+    //    snapshot for re-running the upstream twice; MEASURED at
+    //    local[32] sf10, the pin wins even for cheap inputs (the
+    //    snapshot write to free executor RAM beats a second
+    //    scan+tokenize pass: llm_pack_sequences 1.4 → 2.5 s unpinned),
+    //    so every shipped call site keeps the default. The knob exists
+    //    for deployments where executor storage — not CPU — is the
+    //    scarce resource (a 100 TB corpus copy per concurrent query).
     //  - the SHUFFLED pid-stamped relation — ALWAYS pinned: its two
     //    consumers below must agree on the pids, and RangePartitioner
     //    draws its bound sample with a seed derived from the shuffle

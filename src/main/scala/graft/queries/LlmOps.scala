@@ -1707,11 +1707,8 @@ object LlmOps {
       // cardinality (the export knob), so a per-shard row_number window
       // would sort N/shards rows in one task at the merge — the r10
       // VERDICT #1 shape, removed here the same way as llm_ppl_buckets
-      // pinInput = false: the input is a map-only scan+hash projection —
-      // re-running it for the range exchange's bound sample is one
-      // extra map pass, cheaper than materializing a corpus snapshot
       graft.ops.ExactRank.prefixSum(sharded, "shard",
-          Seq(asc("hv"), asc("doc_id")), lit(1L), pinInput = false)
+          Seq(asc("hv"), asc("doc_id")), lit(1L))
         .select(col("doc_id"), col("shard"), col("cum").as("pos"), col("n_tok"))
     },
 
@@ -1739,10 +1736,8 @@ object LlmOps {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).as("n_tok"))
-      // pinInput = false: map-only token-count projection (see
-      // llm_shuffle_shards)
       graft.ops.ExactRank.prefixSum(t, "lang",
-          Seq(asc("doc_id")), col("n_tok"), pinInput = false)
+          Seq(asc("doc_id")), col("n_tok"))
         .select(col("doc_id"), col("lang"), col("n_tok"),
           expr("(cum - n_tok) div 2048").as("bin"))
     },

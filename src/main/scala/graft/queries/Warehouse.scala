@@ -260,11 +260,8 @@ object Warehouse {
       val base = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment").as("seg"),
           round(col("c_acctbal") * 100).cast("long").as("cents"))
-      // pinInput = false: the input is a bare column projection of the
-      // customer scan — cheaper to re-scan for the range-bound sample
-      // than to materialize a table-sized snapshot (ExactRank scaladoc)
       val ranked = graft.ops.ExactRank.prefixSum(base, "seg",
-        Seq(asc("cents"), asc("c_custkey")), lit(1L), pinInput = false)
+        Seq(asc("cents"), asc("c_custkey")), lit(1L))
       // rank functions = ops.ExactRank cum/n arithmetic (integer `div`
       // dealing rule, exact past double precision; edge groups of size
       // 1..7 pinned against native windows in ExactRankSpec)
