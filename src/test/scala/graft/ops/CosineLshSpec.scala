@@ -40,6 +40,35 @@ class CosineLshSpec extends SparkSpec {
       s"2^6 buckets must prune harder than 2^2 (got $fine vs $coarse)")
   }
 
+  test("signKey matches an independent JVM sha256 derivation") {
+    // r12 moved the sign hashes to a per-dimension broadcast table
+    // (planeSignTable); this pins the WHOLE signKey path — scaled-int
+    // dims, table join, sign sums, bit string — against a from-scratch
+    // JVM computation of the published formula (plane p's sign for
+    // dimension i = hex char p+1 of sha256(i) >= '8'), so a refactor
+    // of either side cannot silently skew every band key.
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").limit(50)
+    val got = CosineLsh.signKey(e, bits = 8)
+      .as[(Long, String)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hexByDim = (1 to 128).map(i => i ->
+      md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    ).toMap
+    val rows = e.as[(Long, Array[Float])].collect()
+    assert(rows.nonEmpty && got.size == rows.length)
+    rows.foreach { case (id, emb) =>
+      val key = (0 until 8).map { p =>
+        val s = emb.zipWithIndex.map { case (v, i0) =>
+          val vi = math.floor(v.toDouble * 1000000 + 0.5).toLong
+          if (hexByDim(i0 + 1).charAt(p) >= '8') vi else -vi
+        }.sum
+        if (s > 0) '1' else '0'
+      }.mkString
+      assert(got(id) == key, s"vec $id: got ${got(id)}, expected $key")
+    }
+  }
+
   test("derivedBits: integer threshold chain, one bit per doubling, capped") {
     import CosineLsh.derivedBits
     // exactly at a threshold stays below it; one row past it crosses

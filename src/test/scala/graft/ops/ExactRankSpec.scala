@@ -140,6 +140,40 @@ class ExactRankSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("randomized parity with the window form (nulls, negatives, ties)") {
+    // 8 seeded shapes × (group nullability, weight sign/nullability,
+    // heavy ties in the order key): prefixSum must equal
+    // sum(coalesce(w, 0)).over(window) — the documented running-count
+    // contract — on every draw. Catches interactions the targeted
+    // tests miss (e.g. a NULL group colliding with a range-partition
+    // boundary on a tied order key).
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 150 + rnd.nextInt(200)
+      val rows = (0 until n).map { i =>
+        val g = if (rnd.nextInt(5) == 0) null else s"g${rnd.nextInt(3)}"
+        val w: java.lang.Long =
+          if (rnd.nextInt(7) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(21) - 10L)
+        (g, (rnd.nextInt(6)).toLong, w, i.toLong) // heavy order-key ties
+      }
+      val df = rows.toDF("grp", "ord", "w", "id")
+      val got = ExactRank.prefixSum(df, "grp", Seq(asc("ord"), asc("id")), col("w"))
+        .select($"grp", $"id", $"cum", $"n")
+        .as[(Option[String], Long, Long, Long)].collect().toSet
+      Releases.drain()
+      val win = Window.partitionBy("grp").orderBy(asc("ord"), asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df
+        .withColumn("cum", sum(coalesce($"w", lit(0L))).over(win))
+        .withColumn("n", sum(coalesce($"w", lit(0L)))
+          .over(Window.partitionBy("grp")))
+        .select($"grp", $"id", $"cum", $"n")
+        .as[(Option[String], Long, Long, Long)].collect().toSet
+      assert(got == want, s"seed $seed diverged")
+    }
+  }
+
   test("empty input yields empty output with the cum/n columns") {
     val df = Seq.empty[(String, Long, Long)].toDF("lang", "score", "id")
     val out = ExactRank.prefixSum(df, "lang", Seq(asc("score")), lit(1L))
