@@ -18,7 +18,22 @@ measures. Two content perturbations keep similarity workloads honest:
   which would misread as superlinear engine behavior.
 - embeddings.embedding: dimensions are rotated by the replica number
   (np.roll), decorrelating replicas while preserving norms and the
-  within-replica neighbor structure, for the same reason.
+  within-replica neighbor structure, for the same reason. Rotation
+  alone saturates once replicas exceed the embedding width (64): at
+  100 replicas, replicas r and r+64 roll by the same amount and are
+  TRUE duplicates (the r12 sf10 sweep measured 144k of 200k vectors
+  duplicated, inflating the LSH candidate-pair space ~16x). So every
+  64-replica block past the first additionally applies a per-block
+  deterministic coordinate SIGN MASK (dimension i flipped when
+  hash(block, i) is odd). A uniform sign flip is an orthogonal
+  transform: norms and all within-replica dot products are exactly
+  preserved, while (rotation, mask) pairs never repeat, so no two
+  replicas are equal for any replica count up to 64 * 2^64. Block 0
+  (r < 64) is untouched, so sf1 outputs are bit-identical to the
+  pre-mask generator and earlier sweep rows stay comparable.
+
+An optional 4th arg regenerates a subset of tables in place
+(comma-separated names), for rebuilding one table of an existing dir.
 
 region/nation are fixed dimensions and are copied as-is.
 """
@@ -28,6 +43,7 @@ import duckdb
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graftdata/sf1"
 n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
@@ -38,6 +54,8 @@ con.sql(f"SET threads TO {os.cpu_count()}")
 OK, CK, SK, PK, DK, EK, VK = (10**7, 10**6, 10**5, 10**6, 10**7, 10**7, 10**6)
 
 def gen(table, sql):
+    if only is not None and table not in only:
+        return
     out = f"{dst}/{table}.parquet"
     con.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
     rows = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
@@ -92,10 +110,18 @@ gen("documents", f"""
     FROM '{src}/documents.parquet', {R})""")
 
 gen("embeddings", f"""
-  SELECT vec_id + r*{VK} AS vec_id,
-         (embedding[(r % len(embedding)) + 1:] || embedding[1:(r % len(embedding))])
-           ::FLOAT[] AS embedding,
+  SELECT vec_id,
+         CASE WHEN blk = 0 THEN rolled
+              ELSE list_transform(generate_series(1, len(rolled)),
+                     i -> rolled[i] * (CASE WHEN hash(blk, i) % 2 = 0
+                                       THEN 1 ELSE -1 END))
+         END::FLOAT[] AS embedding,
          label
-  FROM '{src}/embeddings.parquet', {R}""")
+  FROM (
+    SELECT vec_id + r*{VK} AS vec_id, r // len(embedding) AS blk,
+           (embedding[(r % len(embedding)) + 1:]
+            || embedding[1:(r % len(embedding))])::FLOAT[] AS rolled,
+           label
+    FROM '{src}/embeddings.parquet', {R})""")
 
 print("done")
