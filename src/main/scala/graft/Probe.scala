@@ -15,9 +15,15 @@ object Probe {
     val iters = args(1).toInt
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Local analog of sizing shuffle width to the data (SCALE.md): a
+    // cluster deployment sets spark.sql.shuffle.partitions ∝ input
+    // size / target partition bytes; the sf10+ probes use this to
+    // separate "plan grows super-linearly" from "32 fixed partitions
+    // spill at this input size". Default = cpus, the bench shape.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
