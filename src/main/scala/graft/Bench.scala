@@ -58,9 +58,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle width sized to the input (r12 VERDICT #1): floor = cpus,
+    // so the sf0.1 bench shape is byte-identical to prior rounds; at
+    // sf10+ the width grows with the data and the fixed-width spill
+    // family (q22/q9/ppl_buckets) stays inside its per-task memory.
+    val parts = graft.ops.ShuffleWidth.forDir(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -99,12 +104,29 @@ object Bench {
     // contended host only ever ADDS time, so min-of-2 tracks the
     // engine where a single sample tracks the box. Both must succeed
     // for the query to count as ok (min of one failure = None).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = names.map { case (name, fn) =>
       val first = timed(name, fn)
       val s1 = timed(name, fn)
       val s2 = timed(name, fn)
       val steady = for (a <- s1; b <- s2) yield math.min(a, b)
       (name, first, steady)
+    }
+    // Whole-suite re-runs + min envelope (r12 VERDICT #5): two rounds
+    // running, the single checked-in artifact was the round's WORST
+    // same-build sample (r11: 56.1 s artifact over a 48.7-51.3 s
+    // engine; r12: 51.9 over 44.1-49.5). The artifact now carries its
+    // own distribution: `steady_runs` = the pass-1 steady total plus
+    // one post-warm total per extra whole-suite pass, and `envelope` =
+    // the per-query MIN across every post-warm sample — the number a
+    // reader should quote as the engine's, with the spread right next
+    // to it. Extra passes are one iteration per query (JIT/codegen
+    // already rammed by pass 1), gated on the same idle-wait.
+    val extraPasses = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt - 1)
+    val extras: Seq[Map[String, Option[Double]]] = (1 to extraPasses).map { _ =>
+      awaitIdle(60)
+      names.map { case (name, fn) => name -> timed(name, fn) }.toMap
     }
     val loadEnd = loadavg()
     def jnum(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
@@ -112,6 +134,16 @@ object Bench {
       results.map(r => "\"" + r._1 + "\":" + jnum(f(r))).mkString("{", ",", "}")
     val qs = jmap(_._2)
     val st = jmap(_._3)
+    // per-query min over ALL post-warm samples (pass-1 steady + extras)
+    val envelope: Seq[(String, Option[Double])] = results.map { case (name, _, steady) =>
+      val samples = steady.toSeq ++ extras.flatMap(_.getOrElse(name, None))
+      name -> (if (samples.isEmpty) None else Some(samples.min))
+    }
+    val env = envelope.map { case (n, v) => "\"" + n + "\":" + jnum(v) }
+      .mkString("{", ",", "}")
+    val envelopeTotal = envelope.flatMap(_._2).sum
+    val runTotals = results.flatMap(_._3).sum +: extras.map(_.values.flatten.sum)
+    val runsJson = runTotals.map(_.toString).mkString("[", ",", "]")
     val fj = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val steadyTotal = results.flatMap(_._3).sum
@@ -128,7 +160,7 @@ object Bench {
     val nOk = results.count(r => r._2.isDefined && r._3.isDefined)
     val nOkFirst = results.count(_._2.isDefined)
     val nOkSteady = results.count(_._3.isDefined)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_failed":${results.length - nOk},"n_ok_first":$nOkFirst,"n_ok_steady":$nOkSteady,"protocol":"steady=min of 2 post-warm runs; idle-wait before timing (r12)","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_failed":${results.length - nOk},"n_ok_first":$nOkFirst,"n_ok_steady":$nOkSteady,"protocol":"steady=min of 2 post-warm runs; idle-wait before timing (r12); steady_runs=whole-suite pass totals, envelope=per-query min over all post-warm samples (r13)","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"steady_runs":$runsJson,"envelope":$env,"envelope_total":$envelopeTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

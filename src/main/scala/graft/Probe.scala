@@ -15,19 +15,27 @@ object Probe {
     val iters = args(1).toInt
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Local analog of sizing shuffle width to the data (SCALE.md): a
-    // cluster deployment sets spark.sql.shuffle.partitions ∝ input
-    // size / target partition bytes; the sf10+ probes use this to
-    // separate "plan grows super-linearly" from "32 fixed partitions
-    // spill at this input size". Default = cpus, the bench shape.
-    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
-    val spark = SparkSession.builder()
+    // Shuffle width defaults to the engine's own input-sized derivation
+    // (r12 VERDICT #1 — ops.ShuffleWidth, same as Bench/Verify); the
+    // env override remains for width EXPERIMENTS, i.e. separating "plan
+    // grows super-linearly" from "fixed width spills at this input".
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
+      graft.ops.ShuffleWidth.forDir(sfDir, cpus.toInt).toString)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Optional durability-mode probe (r12 VERDICT #4): route every
+    // ops.Checkpoints.pin through a RELIABLE checkpoint to this dir
+    // (local disk standing in for HDFS) to measure the snapshot-write
+    // overhead vs the default localCheckpoint on the same queries.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(d => builder.config("spark.graft.checkpointDir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    println(s"[probe] sfDir=$sfDir cpus=$cpus shuffle.partitions=$parts" +
+      (if (sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTS")) " (env override)" else " (derived)"))
     // Same untimed warmup as Bench, so probe numbers are comparable to
     // bench rows (first-iteration cost = plan + any shape NOT warmed).
     Warmup.run(spark, sfDir)

@@ -41,18 +41,43 @@ private[graft] object Checkpoints {
     * `spark.graft.checkpointDir` is set. `eager` as in
     * Dataset.checkpoint — iterative call sites pass false and let the
     * round's single action materialize the snapshot. */
-  // last conf value pushed to SparkContext.setCheckpointDir — the
-  // context stores dir + a UUID subdir, so the conf string can't be
-  // compared against getCheckpointDir to detect a change
-  private var lastDir: String = null
+  // last conf value pushed to SparkContext.setCheckpointDir, PER
+  // context — the context stores dir + a UUID subdir, so the conf
+  // string can't be compared against getCheckpointDir to detect a
+  // change, and a plain shared var would let two sessions with
+  // different dirs interleave check-then-set (r12 VERDICT #6 /
+  // ADVICE). Weak keys: a stopped context must not be pinned by this
+  // cache. All reads/writes go through the synchronized block below.
+  private val lastDirByCtx =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, String]()
+
+  /** Spark checkpoints only the TOPMOST marked RDD of a job unless this
+    * job property is set (`RDD.doCheckpoint` — the constant is
+    * `private[spark]`, so the literal). Without it, a pin nested below
+    * another pin in the same materializing job (Bfs/Sssp settled folds
+    * under the final fold, ExactRank's input pin, Ivf's vectors) is
+    * silently never written in reliable mode and every downstream
+    * reference recomputes it from lineage — correct answers, but the
+    * compute-once semantics the call sites rely on become a no-op
+    * (r12 ADVICE, medium). Local mode is immune: localCheckpoint
+    * persists eagerly when marking, so compute-once holds through the
+    * block manager even for skipped nested marks. */
+  private val CheckpointAllMarkedAncestors =
+    "spark.checkpoint.checkpointAllMarkedAncestors"
 
   def pin(df: DataFrame, eager: Boolean = false): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty || lastDir != dir) {
-          sc.setCheckpointDir(dir); lastDir = dir
+        lastDirByCtx.synchronized {
+          if (sc.getCheckpointDir.isEmpty || lastDirByCtx.get(sc) != dir) {
+            sc.setCheckpointDir(dir); lastDirByCtx.put(sc, dir)
+          }
         }
+        // Job-local property, inherited by child threads: set on every
+        // pin so the thread that later runs the materializing action
+        // (the same driver thread at every call site) carries it.
+        sc.setLocalProperty(CheckpointAllMarkedAncestors, "true")
         df.checkpoint(eager)
       case _ => df.localCheckpoint(eager)
     }
@@ -79,7 +104,9 @@ private[graft] object Checkpoints {
             val p = new org.apache.hadoop.fs.Path(path)
             p.getFileSystem(lr.rdd.context.hadoopConfiguration)
               .delete(p, true)
-          } catch { case _: java.io.IOException => () } // best-effort
+            // best-effort: cloud FS clients surface RuntimeExceptions
+            // too, and cleanup must never fail the query (r12 ADVICE)
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
       case _ => ()
     }

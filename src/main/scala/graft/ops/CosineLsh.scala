@@ -40,11 +40,18 @@ object CosineLsh {
     * bucket occupancy stays ≤ unit·2^base/2^base ≈ unit as N grows,
     * which is what keeps the within-bucket pair join linear in the
     * corpus. `cap` bounds the STATIC plane count an oracle must
-    * compute (16 → knob saturates at unit·2^(cap-base) rows ≈ 2M at
-    * the defaults; production raises cap — planes are hex chars of
-    * sha256(i), 64 available per digest, more via a second digest). */
+    * compute. Default 32 (r12 VERDICT #8; was 16, which saturated at
+    * unit·2^10 ≈ 2M rows — production-scale corpora kept growing pair
+    * space past it): saturation now at unit·2^26 ≈ 1.3·10^11 rows at
+    * the defaults, past a 100 TB embedding corpus. Thresholds below
+    * unit·2^10 are unchanged, so every corpus ≤ 2M rows — including
+    * the measured sf0.1/sf1/sf10 sweeps — derives the SAME width as
+    * under the old cap (CosineLshSpec pins it). Planes are hex chars
+    * of sha256(i), 64 per digest; indices 64-127 read a SECOND digest
+    * sha256(i || '+'), so a 2-band query can spend up to 64 bits per
+    * band. */
   def derivedBits(n: Long, base: Int = 6, unit: Long = 2000L,
-      cap: Int = 16): Int = {
+      cap: Int = 32): Int = {
     require(base >= 0 && cap >= base && unit >= 1)
     base + (0 until (cap - base)).count(k => n > (unit << k))
   }
@@ -53,7 +60,7 @@ object CosineLsh {
     * column/subquery `nExpr` — splice into an oracle so both engines
     * derive the identical knob from the identical count(*). */
   def derivedBitsSql(nExpr: String, base: Int = 6, unit: Long = 2000L,
-      cap: Int = 16): String =
+      cap: Int = 32): String =
     s"$base" + (0 until (cap - base)).map(k =>
       s" + (CASE WHEN $nExpr > ${unit << k} THEN 1 ELSE 0 END)").mkString
 
@@ -70,19 +77,30 @@ object CosineLsh {
   private def signAgg(p: Int) =
     sum(when(col(s"s$p"), col("vi")).otherwise(-col("vi"))).as(s"d$p")
 
-  /** Plane signs per DIMENSION: `(i, s0..s63)` where `s$p` =
-    * hex char p+1 of sha256(i) ≥ '8' — the same derivation the DuckDB
-    * oracles compute inline. The sign is a pure function of the
-    * dimension INDEX, whose domain is bounded by the embedding width
-    * (64 here), so it is hashed once per dimension on a distinct-dims
-    * relation and broadcast-joined back — NOT once per (vector,
-    * dimension) row: at sf10 that is 64 sha256s instead of 12.8 M in
-    * the family's hottest stage (r12; the map-side-combined distinct
-    * ships one row per dimension per task). */
+  /** Plane sign for plane `p` over the dimension column `i`: planes
+    * 0-63 read hex char p+1 of sha256(i); planes 64-127 read hex char
+    * p−63 of the SECOND digest sha256(i || '+') — the same published
+    * two-digest formula the DuckDB oracles compute inline. Codegen
+    * subexpression elimination shares each digest across its planes. */
+  private def planeSignExpr(p: Int) = {
+    require(p >= 0 && p < 128, s"plane $p: two digests give 128 planes")
+    val digest =
+      if (p < 64) sha2(col("i"), 256)
+      else sha2(concat(col("i"), lit("+")), 256)
+    substring(digest, (p % 64) + 1, 1) >= "8"
+  }
+
+  /** Plane signs per DIMENSION: `(i, s0..)` via [[planeSignExpr]]. The
+    * sign is a pure function of the dimension INDEX, whose domain is
+    * bounded by the embedding width (64 here), so it is hashed once
+    * per dimension on a distinct-dims relation and broadcast-joined
+    * back — NOT once per (vector, dimension) row: at sf10 that is 64
+    * sha256s instead of 12.8 M in the family's hottest stage (r12;
+    * the map-side-combined distinct ships one row per dimension per
+    * task). */
   private def planeSignTable(dims: DataFrame, planes: Seq[Int]): DataFrame =
     broadcast(dims.select(col("i")).distinct()
-      .select(col("i") +: planes.map(p =>
-        (substring(sha2(col("i"), 256), p + 1, 1) >= "8").as(s"s$p")): _*))
+      .select(col("i") +: planes.map(p => planeSignExpr(p).as(s"s$p")): _*))
 
   /** `(vec_id, key)` — the first `bits` plane signs as a '0'/'1'
     * string: a DETERMINISTIC hash-grid coarse quantizer (the
@@ -92,7 +110,7 @@ object CosineLsh {
     * corpus in one cell (key = ''), exactly as the SQL prefix of
     * length 0 does. */
   def signKey(embeddings: DataFrame, bits: Int): DataFrame = {
-    require(bits >= 0 && bits <= 64, "plane signs come from one sha256")
+    require(bits >= 0 && bits <= 128, "plane signs come from two sha256 digests")
     if (bits == 0)
       return embeddings.select(col("vec_id"), lit("").as("key"))
     val aggs = (0 until bits).map(signAgg)
@@ -115,7 +133,8 @@ object CosineLsh {
       nBands: Int = 2, planeStride: Int = 0): DataFrame = {
     val stride = if (planeStride == 0) bitsPerBand else planeStride
     require(stride >= bitsPerBand, "a band's planes would overlap the next band's")
-    require(nBands * stride <= 64, "plane signs come from one sha256 (64 hex chars)")
+    require(nBands * stride <= 128,
+      "plane signs come from two sha256 digests (128 hex chars)")
     val planes = (0 until nBands).flatMap(g =>
       (0 until bitsPerBand).map(j => g * stride + j))
     val signAggs = planes.map(signAgg)

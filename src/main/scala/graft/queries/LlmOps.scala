@@ -210,9 +210,15 @@ object LlmOps {
 
   /** One ±1 hyperplane sign-bit SQL aggregate for plane `p` — the
     * DuckDB mirror of CosineLsh's plane signs. */
-  private def planeBitSql(p: Int) =
-    s"(CASE WHEN sum(CASE WHEN substr(sha256(CAST(i AS VARCHAR)), ${p + 1}, 1) >= '8' " +
+  private def planeBitSql(p: Int) = {
+    // planes 0-63: hex char p+1 of sha256(i); 64-127: char p-63 of the
+    // second digest sha256(i || '+') — ops.CosineLsh.planeSignExpr's twin
+    val digest =
+      if (p < 64) "sha256(CAST(i AS VARCHAR))"
+      else "sha256(CAST(i AS VARCHAR) || '+')"
+    s"(CASE WHEN sum(CASE WHEN substr($digest, ${p % 64 + 1}, 1) >= '8' " +
       s"THEN vi ELSE -vi END) > 0 THEN '1' ELSE '0' END)"
+  }
 
   /** Scaled-int per-dimension rows CTE body, shared by every
     * plane-sign oracle here. */
@@ -224,8 +230,16 @@ object LlmOps {
   /** The static plane range each LSH band owns (= `planeStride`): the
     * oracle always computes this many sign bits per band and
     * prefix-truncates to the corpus-derived width, so ONE static SQL
-    * text replays the scaled assignment at every sf (r10 VERDICT #2). */
-  private val PlaneStride = 16
+    * text replays the scaled assignment at every sf (r10 VERDICT #2).
+    * 32 to match the raised derivedBits cap (r12 VERDICT #8): the
+    * stride must be able to HOLD the widest derivable band, or the
+    * oracle's prefix truncation runs out of static bits exactly when
+    * the corpus crosses 2M rows. 2 bands × 32 planes = indices 0-63,
+    * still within the first sha256 digest; the Spark side computes
+    * only the DERIVED width's sign aggregates (≤16 per band at every
+    * measured sf — unchanged keys, unchanged cost), the static oracle
+    * text pays the full stride. */
+  private val PlaneStride = 32
 
   /** DuckDB CTE chain equivalent to [[graft.ops.CosineLsh.candidates]]
     * over `embeddings` with the corpus-DERIVED band width
@@ -2463,7 +2477,20 @@ object LlmOps {
     * Factored out of the QueryDef so Warmup can compile the exact plan
     * shapes (named_struct transform explode, cached-count broadcast
     * join, integer-ppm div aggregation) on a toy frame — the c8Summary
-    * pattern. */
+    * pattern.
+    *
+    * Model-join shape (r12 VERDICT #7): the c1 context-total join is
+    * FORCED broadcast by default — the unigram vocabulary is
+    * Heaps-law sublinear in the corpus (31 k rows even at sf100), so
+    * shipping it to every task beats re-shuffling the corpus-scale
+    * bigram stream on w1. That argument holds until a tokenizer
+    * change makes the "vocabulary" a function of corpus size
+    * (byte-level BPE merges, URL/hash tokens, …); for that regime set
+    * `spark.graft.lmScore.broadcastModel=false` and the model joins
+    * as a plain equi-join — Catalyst picks shuffle hash/SMJ from its
+    * size estimates, the corpus shuffles on w1 once, and no task ever
+    * holds the model in heap. Scores are bit-identical under both
+    * modes (integer-ppm arithmetic; LmScoreModeSpec pins it). */
   private[graft] def lmScore(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val bg = lmBigrams(docs)
@@ -2471,11 +2498,14 @@ object LlmOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.ops.Releases.defer(() => { c2.unpersist(true); () })
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val broadcastModel = docs.sparkSession.conf
+      .getOption("spark.graft.lmScore.broadcastModel").forall(_.toBoolean)
+    val model = if (broadcastModel) broadcast(c1) else c1
     val v = docs
       .select(explode(split(col("text"), " ")).as("tk"))
       .agg(countDistinct("tk").as("v"))
     bg.join(c2, Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+      .join(model, Seq("w1"))
       .crossJoin(v)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),

@@ -76,15 +76,62 @@ class CosineLshSpec extends SparkSpec {
     assert(derivedBits(2001) == 7 && derivedBits(4000) == 7)
     assert(derivedBits(4001) == 8)
     assert(derivedBits(20000) == 10) // the sf1 corpus
-    assert(derivedBits(Long.MaxValue) == 16, "saturates at the cap")
+    assert(derivedBits(Long.MaxValue) == 32, "saturates at the (r13) cap")
+    // r12 VERDICT #8: the raised cap must not move any width the scale
+    // sweeps already measured — every n ≤ unit·2^10 (the old cap's
+    // saturation point) derives the SAME bits as under cap=16, so the
+    // sf0.1/sf1/sf10 LSH keys (incl. sf10's exactly-2M corpus) are
+    // bit-identical under both caps
+    val measured = Seq(1L, 2000, 20000, 200000, 1000000, 2000000, 2048000)
+    assert(measured.forall(n => derivedBits(n) == derivedBits(n, cap = 16)))
+    assert(derivedBits(2000000) == 16 && derivedBits(2000000, cap = 16) == 16)
+    // past the old saturation the new cap keeps adding bits: the pair
+    // space stays occupancy-bounded through ≥10^9-row corpora
+    assert(derivedBits(2048001) == 17, "old cap saturated here; new cap must not")
+    assert(derivedBits(1000000000L) == 25) // 2000·2^18 < 1e9 ≤ 2000·2^19
+    assert(derivedBits(2000L << 26) == 32 && derivedBits(2000L << 25) == 31)
     // monotone non-decreasing (sampled)
-    val pts = Seq(1L, 100, 2000, 2001, 5000, 50000, 1000000, 100000000)
+    val pts = Seq(1L, 100, 2000, 2001, 5000, 50000, 1000000, 100000000,
+      1000000000L, Long.MaxValue / 2)
     assert(pts.zip(pts.tail).forall { case (a, b) =>
       derivedBits(a) <= derivedBits(b) })
-    // the SQL chain is the same rule (evaluate the CASE chain in Scala)
-    def sqlBits(n: Long): Int =
-      6 + (0 until 10).count(k => n > (2000L << k))
-    assert(pts.forall(n => derivedBits(n) == sqlBits(n)))
+    // the SQL chain is the same rule — evaluate the EMITTED text in
+    // Spark SQL (ANSI CASE chain, the same text the DuckDB oracle
+    // splices), ExactRankSpec-style, so the two engines' knobs cannot
+    // drift at any n including past the old cap
+    pts.foreach { n =>
+      val viaSql = spark.sql(
+        s"SELECT ${CosineLsh.derivedBitsSql(n.toString)} AS b")
+        .head.getInt(0)
+      assert(viaSql == derivedBits(n), s"n=$n: SQL $viaSql, Scala ${derivedBits(n)}")
+    }
+  }
+
+  test("second-digest planes (64+): signKey matches an independent JVM derivation") {
+    // the raised cap lets a band spend >64 planes; indices 64-127 read
+    // sha256(i || '+') — pin the whole path against from-scratch JVM
+    // crypto exactly like the first-digest test above
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").limit(20)
+    val bits = 70 // planes 0..69: spans the digest boundary
+    val got = CosineLsh.signKey(e, bits).as[(Long, String)].collect().toMap
+    def sha(s: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rows = e.as[(Long, Array[Float])].collect()
+    assert(rows.nonEmpty && got.size == rows.length)
+    rows.foreach { case (id, emb) =>
+      val key = (0 until bits).map { p =>
+        val s = emb.zipWithIndex.map { case (v, i0) =>
+          val i = (i0 + 1).toString
+          val hex = if (p < 64) sha(i) else sha(i + "+")
+          val vi = math.floor(v.toDouble * 1000000 + 0.5).toLong
+          if (hex.charAt(p % 64) >= '8') vi else -vi
+        }.sum
+        if (s > 0) '1' else '0'
+      }.mkString
+      assert(got(id) == key, s"vec $id: got ${got(id)}, expected $key")
+    }
   }
 
   test("wider planeStride: keys are prefixes — candidates shrink monotonically") {

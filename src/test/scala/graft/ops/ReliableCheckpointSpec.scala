@@ -117,6 +117,58 @@ class ReliableCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("nested pins are BOTH written in reliable mode (r12 ADVICE: lazy " +
+      "checkpoint only covers the topmost marked RDD per job by default)") {
+    withReliable { _ =>
+      val p1 = Checkpoints.pin(spark.range(100).toDF("id")
+        .withColumn("x", col("id") * 2))
+      val p2 = Checkpoints.pin(p1.groupBy((col("x") % 10).as("b"))
+        .agg(sum("id").as("s")))
+      // one materializing job over p2; p1's snapshot is an ancestor
+      p2.write.mode("overwrite").format("noop").save()
+      def ckFile(df: DataFrame): Option[String] =
+        df.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.getCheckpointFile
+          case _ => None
+        }
+      assert(ckFile(p2).isDefined, "top pin was not checkpointed")
+      assert(ckFile(p1).isDefined,
+        "NESTED pin was not checkpointed — compute-once degraded to plan-cut-only")
+      Checkpoints.release(p1, blocking = true)
+      Checkpoints.release(p2, blocking = true)
+    }
+  }
+
+  test("two sessions with different checkpoint dirs don't cross-write (lastDir race)") {
+    // Same SparkContext, two sessions, two dirs: each pin must land in
+    // the dir its OWN session conf names, even when calls interleave.
+    val d1 = java.nio.file.Files.createTempDirectory("graft-ckpt-a")
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ckpt-b")
+    val s1 = spark.newSession(); val s2 = spark.newSession()
+    s1.conf.set("spark.graft.checkpointDir", d1.toString)
+    s2.conf.set("spark.graft.checkpointDir", d2.toString)
+    try {
+      def files(p: java.nio.file.Path): Long =
+        java.nio.file.Files.walk(p)
+          .filter(q => java.nio.file.Files.isRegularFile(q)).count()
+      val a = Checkpoints.pin(s1.range(50).toDF("id"), eager = true)
+      val na = files(d1)
+      val b = Checkpoints.pin(s2.range(50).toDF("id"), eager = true)
+      val c = Checkpoints.pin(s1.range(60).toDF("id"), eager = true)
+      assert(na > 0, "first session's pin wrote nothing to its dir")
+      assert(files(d2) > 0, "second session's pin wrote nothing to its dir")
+      assert(files(d1) > na, "first session's SECOND pin (after the other " +
+        "session switched the context dir) did not return to its own dir")
+      Seq(a, b, c).foreach(Checkpoints.release(_, blocking = true))
+    } finally {
+      s1.conf.unset("spark.graft.checkpointDir")
+      s2.conf.unset("spark.graft.checkpointDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(d1.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(d2.toFile)
+    }
+  }
+
   test("release() deletes reliable-checkpoint files from the dir") {
     withReliable { dir =>
       val l = Components.run(edges)

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Pins the input-sized shuffle-width derivation (r12 VERDICT #1):
+  * floor at cpus (bench shape unchanged at sf0.1), wave rounding,
+  * cap, and the byte walk following symlinks (the sf100 dir links its
+  * unchanged sf10 tables). */
+class ShuffleWidthSpec extends AnyFunSuite {
+  private val MiB = 1024L * 1024
+
+  test("small inputs keep the cpu floor — the sf0.1 bench shape is unchanged") {
+    // sf0.1 is ~17.5 MB: under one target partition, still 32 wide
+    assert(ShuffleWidth.derive(inputBytes = 18 * MiB, cpus = 32) === 32)
+    assert(ShuffleWidth.derive(inputBytes = 0, cpus = 32) === 32)
+    // sf1 is ~185 MB → raw 6 → still the floor
+    assert(ShuffleWidth.derive(inputBytes = 185 * MiB, cpus = 32) === 32)
+  }
+
+  test("sf10-sized input derives the width the r12 probe proved cures the spill family") {
+    // sf10 dir = 1.80 GB → ceil(1800/32) = 57 raw → one extra wave = 64,
+    // exactly the width that collapsed q22_pagerank's spread (SCALE.md §r12)
+    assert(ShuffleWidth.derive(inputBytes = 1800 * MiB, cpus = 32) === 64)
+    // sf100 mixed dir = 2.38 GB → raw 75 → 96
+    assert(ShuffleWidth.derive(inputBytes = 2380 * MiB, cpus = 32) === 96)
+  }
+
+  test("width is a multiple of cpus (full waves) until the cap truncates it") {
+    val w = ShuffleWidth.derive(inputBytes = 10L * 1024 * MiB, cpus = 24)
+    assert(w % 24 === 0 && w >= 320)         // 10 GiB / 32 MiB = 320 raw
+    // cap is an exact ceiling, even when not a cpu multiple
+    assert(ShuffleWidth.derive(100L * 1024 * MiB, cpus = 32, cap = 1000) === 1000)
+    // default cap bounds a runaway input
+    assert(ShuffleWidth.derive(Long.MaxValue / 2, cpus = 32) === ShuffleWidth.DefaultCap)
+  }
+
+  test("inputBytes walks the dir recursively and follows symlinks; missing dir is 0") {
+    val dir = Files.createTempDirectory("swidth")
+    val sub = Files.createDirectory(dir.resolve("sub"))
+    Files.write(dir.resolve("a.parquet"), Array.fill[Byte](1000)(1))
+    Files.write(sub.resolve("b.parquet"), Array.fill[Byte](500)(2))
+    // symlinked table (the sf100 layout): counted at target size
+    val tgt = Files.createTempFile("swidth-tgt", ".parquet")
+    Files.write(tgt, Array.fill[Byte](250)(3))
+    Files.createSymbolicLink(dir.resolve("c.parquet"), tgt)
+    assert(ShuffleWidth.inputBytes(dir.toString) === 1750L)
+    assert(ShuffleWidth.inputBytes(dir.resolve("nope").toString) === 0L)
+    assert(ShuffleWidth.forDir(dir.toString, cpus = 4) === 4) // floor
+  }
+}

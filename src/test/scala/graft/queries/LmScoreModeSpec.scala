@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** r12 VERDICT #7: `spark.graft.lmScore.broadcastModel=false` swaps the
+  * forced-broadcast c1 model join for a plain equi-join (the scale-safe
+  * shape when a tokenizer makes the vocabulary corpus-sized). The conf
+  * must change the JOIN STRATEGY, never the scores. */
+class LmScoreModeSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def withFixture(test: NoArgTest) =
+    try super.withFixture(test) finally graft.ops.Releases.drain()
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the log and the cat ran"),
+    (3L, "cat cat cat dog"),
+    (4L, "one token"),
+    (5L, "the mat sat on the cat on the mat")
+  ).toDF("doc_id", "text")
+
+  private def scores(broadcastModel: Boolean): Seq[(Long, Long, Long)] = {
+    spark.conf.set("spark.graft.lmScore.broadcastModel", broadcastModel.toString)
+    try LlmOps.lmScore(docs).as[(Long, Long, Long)].collect().sorted.toSeq
+    finally spark.conf.unset("spark.graft.lmScore.broadcastModel")
+  }
+
+  test("scores are identical under broadcast and join-shaped model modes") {
+    val a = scores(broadcastModel = true)
+    val b = scores(broadcastModel = false)
+    assert(a == b && a.size == 5)
+  }
+
+  test("default (conf unset) is the broadcast shape; conf=false removes every " +
+      "broadcast from the model join subtree") {
+    // count BroadcastExchange nodes in the executed plan under each mode,
+    // with auto-broadcast disabled so Catalyst cannot re-introduce one
+    // from size estimates and mask a missing/leftover hint
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // count on the FORMATTED executed plan: AQE wraps exchanges in
+    // leaf BroadcastQueryStageExec nodes a tree walk can't descend
+    def broadcasts(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "BroadcastExchange\\b".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    try {
+      val withHint = broadcasts(LlmOps.lmScore(docs))
+      assert(withHint >= 1, "default mode lost the forced model broadcast")
+      spark.conf.set("spark.graft.lmScore.broadcastModel", "false")
+      val without = broadcasts(LlmOps.lmScore(docs))
+      assert(without == 0,
+        s"join-shaped mode still broadcasts ($without BroadcastExchange nodes)")
+    } finally {
+      spark.conf.unset("spark.graft.lmScore.broadcastModel")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    }
+  }
+}

@@ -6,6 +6,14 @@ numbers, so DuckDB-on-the-same-queries is the single-node proxy).
 
 Usage: python3 tools/baseline_duckdb.py [sfDir] [oracle_sql.json] [out.json]
 Writes {"total_sec": N, "queries": {name: sec}, "sf": dir, "engine": "duckdb"}.
+
+Protocol (r12 ADVICE): the Spark bench reports `steady` as the min of
+post-warm iterations after an idle wait; a single cold DuckDB run per
+query would be an asymmetric comparator that flatters the Spark side.
+Each oracle therefore runs 3x here too: run 1 is the cold number
+(`queries_first`), `queries`/`total_sec` carry min(run2, run3) — the
+same min-of-2-post-warm estimator Bench.scala uses, so steady-vs-
+baseline ratios are like-for-like.
 """
 import sys, json, time
 import duckdb
@@ -20,21 +28,32 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 oracle = json.load(open(oracle_path))
-times, failures = {}, []
+times, first, failures = {}, {}, []
 for name, sql in sorted(oracle.items()):
-    t0 = time.monotonic()
-    try:
-        con.sql(sql).fetchall()
-        times[name] = round(time.monotonic() - t0, 3)
-    except Exception as e:
-        failures.append(name)
-        times[name] = -round(time.monotonic() - t0, 3)
-        print(f"FAIL {name}: {e}", file=sys.stderr)
+    runs = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        try:
+            con.sql(sql).fetchall()
+            runs.append(round(time.monotonic() - t0, 3))
+        except Exception as e:
+            runs = None
+            failures.append(name)
+            times[name] = first[name] = -round(time.monotonic() - t0, 3)
+            print(f"FAIL {name}: {e}", file=sys.stderr)
+            break
+    if runs:
+        first[name] = runs[0]
+        times[name] = min(runs[1:])  # min-of-2 post-warm, like Bench.scala
 
 result = {"engine": "duckdb", "sf": sf_dir,
+          "protocol": "steady=min of 2 post-warm runs per query (symmetric "
+                      "with Bench.scala r12); queries_first = cold run",
           "total_sec": round(sum(v for v in times.values() if v >= 0), 2),
-          "queries": times, "failures": failures}
+          "first_total_sec": round(sum(v for v in first.values() if v >= 0), 2),
+          "queries": times, "queries_first": first, "failures": failures}
 json.dump(result, open(out_path, "w"), indent=1)
-print(json.dumps({k: result[k] for k in ("engine", "sf", "total_sec", "failures")}))
+print(json.dumps({k: result[k] for k in
+                  ("engine", "sf", "total_sec", "first_total_sec", "failures")}))
 for name, sec in sorted(times.items(), key=lambda kv: -abs(kv[1]))[:10]:
     print(f"{sec:8.2f}  {name}")

@@ -27,10 +27,15 @@ measures. Two content perturbations keep similarity workloads honest:
   deterministic coordinate SIGN MASK (dimension i flipped when
   hash(block, i) is odd). A uniform sign flip is an orthogonal
   transform: norms and all within-replica dot products are exactly
-  preserved, while (rotation, mask) pairs never repeat, so no two
-  replicas are equal for any replica count up to 64 * 2^64. Block 0
-  (r < 64) is untouched, so sf1 outputs are bit-identical to the
-  pre-mask generator and earlier sweep rows stay comparable.
+  preserved. Distinct blocks get distinct masks with overwhelming
+  probability, NOT with certainty: the mask is the parity vector of
+  hash(block, i), so two blocks collide only if all 64 parities agree
+  (~2^-64 per block pair — an injective from-the-block-bits mask was
+  considered and rejected because low block numbers would flip a
+  single coordinate, recreating the near-duplicate saturation the
+  mask exists to remove). Block 0 (r < 64) is untouched, so sf1
+  outputs are bit-identical to the pre-mask generator and earlier
+  sweep rows stay comparable.
 
 An optional 4th arg regenerates a subset of tables in place
 (comma-separated names), for rebuilding one table of an existing dir.
