@@ -68,6 +68,26 @@ object Bench {
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Round-13: whole-stage-codegen class cache sized to the SUITE,
+      // not Spark's default 100 entries. The 101-query suite compiles
+      // several codegen units per query, so one whole-suite pass cycles
+      // the default LRU many times over — every extra pass (steady_runs
+      // protocol) re-paid full Janino compilation per query. Measured
+      // A/B, same build, back-to-back (SCALE.md §r13-codegen-cache):
+      // at 100 entries pass totals climb MONOTONICALLY 57.4→90.5→127.8 s
+      // ("heap pressure" was the wrong r13 diagnosis — the JVM wasn't
+      // aging, its compile cache was thrashing); at 2048 a 5-pass run
+      // reads 54.7/55.6/79.3/68.7/50.4 s — pass 5 the FASTEST, the
+      // residual spread uniform across queries, i.e. virtualized-host
+      // noise the per-query min envelope exists to see through. First-
+      // run totals drop too (97.1→88.5 s): Warmup's precompiled shapes
+      // now survive to the late-alphabet queries instead of being
+      // evicted mid-pass. 2048 entries ≈ the suite's working set at
+      // ~50 KB/entry — noise on a 24 g heap, and the same knob a
+      // long-lived production SQL service (a Thrift server running a
+      // repeated query mix) raises for the same reason.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2048"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -141,6 +161,13 @@ object Bench {
     }
     val env = envelope.map { case (n, v) => "\"" + n + "\":" + jnum(v) }
       .mkString("{", ",", "}")
+    // per-extra-pass per-query samples (r13): lets a reader (and the
+    // builder) see WHERE a drifting pass total goes — uniform
+    // multiplicative drift is the host/JVM, per-query spikes are a leak
+    val passesJson = extras.map { m =>
+      names.map { case (n, _) => "\"" + n + "\":" + jnum(m.getOrElse(n, None)) }
+        .mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
     val envelopeTotal = envelope.flatMap(_._2).sum
     val runTotals = results.flatMap(_._3).sum +: extras.map(_.values.flatten.sum)
     val runsJson = runTotals.map(_.toString).mkString("[", ",", "]")
@@ -160,7 +187,7 @@ object Bench {
     val nOk = results.count(r => r._2.isDefined && r._3.isDefined)
     val nOkFirst = results.count(_._2.isDefined)
     val nOkSteady = results.count(_._3.isDefined)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_failed":${results.length - nOk},"n_ok_first":$nOkFirst,"n_ok_steady":$nOkSteady,"protocol":"steady=min of 2 post-warm runs; idle-wait before timing (r12); steady_runs=whole-suite pass totals, envelope=per-query min over all post-warm samples (r13)","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"steady_runs":$runsJson,"envelope":$env,"envelope_total":$envelopeTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_failed":${results.length - nOk},"n_ok_first":$nOkFirst,"n_ok_steady":$nOkSteady,"protocol":"steady=min of 2 post-warm runs; idle-wait before timing (r12); steady_runs=whole-suite pass totals, envelope=per-query min over all post-warm samples (r13)","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"steady_runs":$runsJson,"pass_queries":$passesJson,"envelope":$env,"envelope_total":$envelopeTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -20,6 +20,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // codegen class cache sized to the query suite (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "2048")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
