@@ -24,6 +24,9 @@ class ShuffleWidthSpec extends AnyFunSuite {
     assert(ShuffleWidth.derive(inputBytes = 1800 * MiB, cpus = 32) === 64)
     // sf100 mixed dir = 2.38 GB → raw 75 → 96
     assert(ShuffleWidth.derive(inputBytes = 2380 * MiB, cpus = 32) === 96)
+    // sf1000 documents dir = 7.3 GB → raw 234 → 256, the width the r13
+    // fourth-decade sweep ran at (SCALE.md §r13-fourth-decade)
+    assert(ShuffleWidth.derive(inputBytes = 7470 * MiB, cpus = 32) === 256)
   }
 
   test("width is a multiple of cpus (full waves) until the cap truncates it") {
