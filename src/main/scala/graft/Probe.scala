@@ -26,8 +26,10 @@ object Probe {
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // codegen class cache sized to the query suite (see Bench.scala)
-      .config("spark.sql.codegen.cache.maxEntries", "2048")
+      // codegen class cache sized to the query suite (see Bench.scala);
+      // env-overridable so Probe can reproduce the 100-vs-2048 A/B
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2048"))
     // Optional durability-mode probe (r12 VERDICT #4): route every
     // ops.Checkpoints.pin through a RELIABLE checkpoint to this dir
     // (local disk standing in for HDFS) to measure the snapshot-write

@@ -4,6 +4,24 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Current git HEAD, resolved by file read (no git exec, no JNI):
+    * `.git/HEAD` is either a detached sha or `ref: <path>`; symbolic
+    * refs may live loose under `.git/<path>` or only in
+    * `.git/packed-refs`. Best-effort — "unknown" if the layout is
+    * anything else (worktrees, shallow mirrors). */
+  private def buildCommit: String = try {
+    val head = Files.readString(Paths.get(".git/HEAD")).trim
+    if (!head.startsWith("ref: ")) head
+    else {
+      val ref = head.stripPrefix("ref: ")
+      val loose = Paths.get(s".git/$ref")
+      if (Files.exists(loose)) Files.readString(loose).trim
+      else Files.readAllLines(Paths.get(".git/packed-refs")).stream()
+        .filter(l => l.endsWith(" " + ref)).findFirst()
+        .map[String](_.split(" ")(0)).orElse("unknown")
+    }
+  } catch { case _: Exception => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg: regex over query names, for fast local iteration
@@ -20,11 +38,21 @@ object Verify {
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // codegen class cache sized to the query suite (see Bench.scala)
-      .config("spark.sql.codegen.cache.maxEntries", "2048")
+      // codegen class cache sized to the query suite (see Bench.scala);
+      // env-overridable so knob experiments reproduce through any entry
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2048"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Machine-readable protocol stamp (r13 VERDICT #7): the knobs that
+    // shaped this run, so CORRECTNESS artifacts are self-describing —
+    // the compare tools merge these fields into their `_meta`.
+    Files.writeString(Paths.get(s"$outDir/run_meta.json"),
+      s"""{"sf_dir": "$sfDir", "cpus": $cpus, "shuffle_partitions": $parts,
+         | "codegen_cache_max_entries": ${spark.conf.get("spark.sql.codegen.cache.maxEntries")},
+         | "spark_version": "${spark.version}",
+         | "build_commit": "$buildCommit"}""".stripMargin)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

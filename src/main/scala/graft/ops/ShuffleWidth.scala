@@ -54,17 +54,67 @@ private[graft] object ShuffleWidth {
     math.min(waves * cpus, cap.toLong).toInt
   }
 
-  /** Total bytes under `dir` via the Hadoop FileSystem API — the same
-    * call a cluster session would make against hdfs:///s3a:// input
-    * (local paths resolve to RawLocalFileSystem, which follows
+  /** File names the sizing walk treats as columnar/data input. */
+  private val DataExts = Seq(".parquet", ".orc", ".avro", ".csv",
+    ".json", ".tsv", ".txt", ".gz", ".zst", ".zip")
+
+  /** Total data bytes under `dir`, via the Hadoop FileSystem API — the
+    * same listing a cluster session would make against hdfs:///s3a://
+    * input (local paths resolve to RawLocalFileSystem, which follows
     * symlinks — the sf100 dir links its unchanged sf10 tables).
-    * Missing/unreadable dir → 0 (callers then keep the cpu floor
-    * rather than failing a session over a sizing heuristic). */
+    *
+    * The walk is DEFENSIVE against layout accidents (r13 VERDICT #4) —
+    * a sizing heuristic must never wedge or skew a session:
+    *   - directories are deduped by canonical path, so symlink cycles
+    *     (self-links, A→B→A) are visited once and terminate — the
+    *     naive `getContentSummary` walk was measured counting a cycled
+    *     subtree ~20× before the OS path-length limit stopped it,
+    *     silently inflating the derived width;
+    *   - hidden/bookkeeping entries (`.`-/`_`-prefixed: _SUCCESS,
+    *     .crc, …) are skipped, matching Spark's own scan path filter;
+    *   - when any recognized data file ([[DataExts]]) is present, only
+    *     data bytes count — a stray multi-GB log or core dump next to
+    *     the tables cannot inflate the width; a dir with NO recognized
+    *     extension falls back to its total (exotic layouts still size);
+    *   - an unlistable subdir is skipped, a missing/unreadable root is
+    *     0 (callers then keep the cpu floor rather than failing a
+    *     session over a sizing heuristic). */
   def inputBytes(dir: String): Long =
     try {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      if (!fs.exists(p)) return 0L
+      val seen = scala.collection.mutable.HashSet[String]()
+      // canonicalize through local symlinks for the cycle guard; remote
+      // schemes (hdfs/s3a) have no symlinks — their path string is
+      // already canonical for dedupe purposes
+      def canon(path: org.apache.hadoop.fs.Path): String = {
+        val scheme = path.toUri.getScheme
+        if (scheme == null || scheme == "file")
+          try new java.io.File(path.toUri.getPath).getCanonicalPath
+          catch { case scala.util.control.NonFatal(_) => path.toString }
+        else path.toString
+      }
+      var total = 0L
+      var dataTotal = 0L
+      def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
+        if (st.isDirectory) {
+          if (seen.add(canon(st.getPath))) {
+            val children =
+              try fs.listStatus(st.getPath)
+              catch { case scala.util.control.NonFatal(_) =>
+                Array.empty[org.apache.hadoop.fs.FileStatus] }
+            children.foreach(walk)
+          }
+        } else {
+          val name = st.getPath.getName
+          if (!name.startsWith(".") && !name.startsWith("_")) {
+            total += st.getLen
+            if (DataExts.exists(name.endsWith)) dataTotal += st.getLen
+          }
+        }
+      walk(fs.getFileStatus(p))
+      if (dataTotal > 0) dataTotal else total
     } catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** One-call form for the session builders: width for `dir` on

@@ -2479,18 +2479,30 @@ object LlmOps {
     * join, integer-ppm div aggregation) on a toy frame — the c8Summary
     * pattern.
     *
-    * Model-join shape (r12 VERDICT #7): the c1 context-total join is
-    * FORCED broadcast by default — the unigram vocabulary is
-    * Heaps-law sublinear in the corpus (31 k rows even at sf100), so
-    * shipping it to every task beats re-shuffling the corpus-scale
-    * bigram stream on w1. That argument holds until a tokenizer
-    * change makes the "vocabulary" a function of corpus size
-    * (byte-level BPE merges, URL/hash tokens, …); for that regime set
-    * `spark.graft.lmScore.broadcastModel=false` and the model joins
-    * as a plain equi-join — Catalyst picks shuffle hash/SMJ from its
-    * size estimates, the corpus shuffles on w1 once, and no task ever
-    * holds the model in heap. Scores are bit-identical under both
-    * modes (integer-ppm arithmetic; LmScoreModeSpec pins it). */
+    * Model-join shape (r12 VERDICT #7, extended r13 VERDICT #1): BOTH
+    * model relations — c2 (bigram counts) and c1 (context totals) —
+    * are FORCED broadcast by default. The model is Heaps-law
+    * sublinear in the corpus (c1: unigram vocabulary, 31 k rows even
+    * at sf100; c2: bigram types, a higher Heaps exponent but still
+    * type counts, not token counts), so shipping it to every task
+    * beats shuffling the corpus-scale EXPLODED bigram-instance stream
+    * on its join keys. Under broadcast the whole scorer is map-side:
+    * `lmBigrams` keeps each doc's bigrams co-located, both model
+    * joins are BroadcastHashJoin over the un-shuffled instance
+    * stream, and the ONLY corpus shuffle left is the one-row-per-doc
+    * partial-aggregate output into groupBy(doc_id) — this is what
+    * turned the sf1000 scorer from a 160 GB shuffle-disk wall (r13)
+    * into a runnable plan (SCALE.md round-14 table). The broadcast
+    * argument holds until a tokenizer change makes the model a
+    * function of corpus size (byte-level BPE merges, URL/hash
+    * tokens, …) — c2 crosses that line an order of magnitude before
+    * c1 does; for that regime set
+    * `spark.graft.lmScore.broadcastModel=false` and BOTH model joins
+    * fall back to plain equi-joins — Catalyst picks shuffle hash/SMJ
+    * from its size estimates, the corpus shuffles on (w1,w2) then w1
+    * once each, and no task ever holds the model in heap. Scores are
+    * bit-identical under both modes (integer-ppm arithmetic;
+    * LmScoreModeSpec pins it). */
   private[graft] def lmScore(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val bg = lmBigrams(docs)
@@ -2500,12 +2512,13 @@ object LlmOps {
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     val broadcastModel = docs.sparkSession.conf
       .getOption("spark.graft.lmScore.broadcastModel").forall(_.toBoolean)
-    val model = if (broadcastModel) broadcast(c1) else c1
+    val modelC1 = if (broadcastModel) broadcast(c1) else c1
+    val modelC2 = if (broadcastModel) broadcast(c2) else c2
     val v = docs
       .select(explode(split(col("text"), " ")).as("tk"))
       .agg(countDistinct("tk").as("v"))
-    bg.join(c2, Seq("w1", "w2"))
-      .join(model, Seq("w1"))
+    bg.join(modelC2, Seq("w1", "w2"))
+      .join(modelC1, Seq("w1"))
       .crossJoin(v)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),

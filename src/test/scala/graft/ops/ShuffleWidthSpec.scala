@@ -24,7 +24,9 @@ class ShuffleWidthSpec extends AnyFunSuite {
     assert(ShuffleWidth.derive(inputBytes = 1800 * MiB, cpus = 32) === 64)
     // sf100 mixed dir = 2.38 GB → raw 75 → 96
     assert(ShuffleWidth.derive(inputBytes = 2380 * MiB, cpus = 32) === 96)
-    // sf1000 documents dir = 7.3 GB → raw 234 → 256, the width the r13
+    // sf1000 documents dir ≈ 7470 MiB = 7.30 GiB (SCALE.md's "7.3 GB"
+    // means GiB; the measured footprint is re-stated in bytes in the
+    // r14 SCALE.md section) → raw 234 → 256, the width the r13
     // fourth-decade sweep ran at (SCALE.md §r13-fourth-decade)
     assert(ShuffleWidth.derive(inputBytes = 7470 * MiB, cpus = 32) === 256)
   }
@@ -50,5 +52,39 @@ class ShuffleWidthSpec extends AnyFunSuite {
     assert(ShuffleWidth.inputBytes(dir.toString) === 1750L)
     assert(ShuffleWidth.inputBytes(dir.resolve("nope").toString) === 0L)
     assert(ShuffleWidth.forDir(dir.toString, cpus = 4) === 4) // floor
+  }
+
+  // r13 VERDICT #4: the sizing heuristic must not be wedged (or skewed)
+  // by layout accidents in the input dir.
+  test("symlink cycles terminate and count each subtree ONCE") {
+    val dir = Files.createTempDirectory("swidth-cyc")
+    val other = Files.createTempDirectory("swidth-cyc2")
+    Files.write(dir.resolve("a.parquet"), Array.fill[Byte](1000)(1))
+    Files.write(other.resolve("b.parquet"), Array.fill[Byte](500)(2))
+    // a self-referential link and a two-dir cycle: the naive
+    // getContentSummary walk counted this layout ~20x over (measured)
+    // before the OS path-length limit stopped the recursion
+    Files.createSymbolicLink(dir.resolve("self"), dir.resolve("self"))
+    Files.createSymbolicLink(dir.resolve("loop"), other)
+    Files.createSymbolicLink(other.resolve("back"), dir)
+    assert(ShuffleWidth.inputBytes(dir.toString) === 1500L)
+  }
+
+  test("large non-data files next to parquet tables do not inflate the width") {
+    val dir = Files.createTempDirectory("swidth-mix")
+    Files.write(dir.resolve("t.parquet"), Array.fill[Byte](2000)(1))
+    Files.write(dir.resolve("derby.log"), Array.fill[Byte](64 * 1024)(2))
+    Files.write(dir.resolve("core.12345"), Array.fill[Byte](64 * 1024)(3))
+    // Spark's own scan filter: `_`/`.`-prefixed bookkeeping is ignored
+    Files.write(dir.resolve("_SUCCESS"), Array.fill[Byte](10)(4))
+    Files.write(dir.resolve(".t.parquet.crc"), Array.fill[Byte](10)(5))
+    assert(ShuffleWidth.inputBytes(dir.toString) === 2000L)
+  }
+
+  test("a dir with no recognized data extension still sizes from its total") {
+    val dir = Files.createTempDirectory("swidth-raw")
+    Files.write(dir.resolve("shard-00000"), Array.fill[Byte](3000)(1))
+    Files.write(dir.resolve("shard-00001"), Array.fill[Byte](1000)(2))
+    assert(ShuffleWidth.inputBytes(dir.toString) === 4000L)
   }
 }

@@ -2,10 +2,13 @@ package graft.queries
 
 import graft.SparkSpec
 
-/** r12 VERDICT #7: `spark.graft.lmScore.broadcastModel=false` swaps the
-  * forced-broadcast c1 model join for a plain equi-join (the scale-safe
-  * shape when a tokenizer makes the vocabulary corpus-sized). The conf
-  * must change the JOIN STRATEGY, never the scores. */
+/** r12 VERDICT #7 + r13 VERDICT #1: `spark.graft.lmScore.broadcastModel`
+  * gates BOTH model joins — c2 (bigram counts) and c1 (context totals).
+  * Default (true) broadcasts both, so the exploded bigram-instance
+  * stream is never shuffled and the scorer is map-side up to the
+  * per-doc groupBy; false swaps both for plain equi-joins (the
+  * scale-safe shape when a tokenizer makes the model corpus-sized).
+  * The conf must change the JOIN STRATEGY, never the scores. */
 class LmScoreModeSpec extends SparkSpec {
   import spark.implicits._
 
@@ -48,7 +51,9 @@ class LmScoreModeSpec extends SparkSpec {
     }
     try {
       val withHint = broadcasts(LlmOps.lmScore(docs))
-      assert(withHint >= 1, "default mode lost the forced model broadcast")
+      assert(withHint >= 2,
+        s"default mode must broadcast BOTH c2 and c1 (saw $withHint " +
+          "BroadcastExchange nodes) — the bg side must never shuffle")
       spark.conf.set("spark.graft.lmScore.broadcastModel", "false")
       val without = broadcasts(LlmOps.lmScore(docs))
       assert(without == 0,

@@ -12,7 +12,7 @@ carries the same evidential weight.
 Usage: python3 tools/verify_sf1.py [sfDir] [outDir] [resultJson]
 Assumes graft.Verify has written outDir/<name>/ + oracle_sql.json.
 """
-import sys, json, glob, time
+import sys, os, json, glob, time
 import duckdb
 import pandas.api.types as pt
 
@@ -114,10 +114,18 @@ npass = len(results) - len(fails)
 print(f"\n{npass} pass / {len(fails)} fail")
 
 if res_path:
+    # r13 VERDICT #7: merge graft.Verify's machine-readable protocol
+    # stamp (derived shuffle width, codegen cache size, build commit)
+    # so the artifact is self-describing without SCALE.md cross-ref.
+    try:
+        stamp = json.load(open(f"{out_dir}/run_meta.json"))
+    except Exception:
+        stamp = {}
     results["_meta"] = {
+        **stamp,
         "sf_dir": f"{sf_dir} (tools/gen_sfn.py, key-shifted "
                   "replication of sf0.1)",
-        "round": 12,
+        "round": int(os.environ.get("GRAFT_ROUND", 0)) or None,
         "note": "r11 VERDICT #1: llm_cluster_fixpoint now checked at sf1 "
                 "via the round-materialized min-label oracle in "
                 "tools/verify_sf1.py (one DuckDB temp table per round, "
