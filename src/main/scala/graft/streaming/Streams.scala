@@ -232,6 +232,44 @@ object Streams {
           .as("avg_prob_ppm"))
   }
 
+  /** The BIG-MODEL / replay-scale path [[lmScoreStream]]'s scaladoc
+    * promises: score arrivals via stream-static EQUI JOINS on the
+    * bigram key instead of broadcast map lookups. Same integer
+    * arithmetic (add-one floor, ppm div) ⇒ identical scores
+    * (StreamBatchEquivSpec asserts equality against batch
+    * llm_lm_score through this path too), but per-instance cost is
+    * O(1) hash-probe instead of O(|model|) map scan — the map form's
+    * measured cliff (8.5 s at a 2.5k-bigram model × 500k instances)
+    * does not exist here, so this is the path for replaying a corpus
+    * or for models beyond a few thousand entries.
+    *
+    * Shape: explode each arriving doc into bigram instances, left-join
+    * c2 (w1,w2) then c1 (w1) — both static, re-read per micro-batch,
+    * broadcast by AQE while the model fits and hash-shuffled equi
+    * joins beyond that — then a WATERMARKED streaming aggregation
+    * groups instances back to one row per doc. Grouping on (ts,
+    * doc_id) with ts the watermark column keeps Append-mode legal and
+    * bounds state to O(docs in flight per horizon) one-row sums —
+    * never O(corpus), never O(model). */
+  def lmScoreStreamJoin(docs: DataFrame, c2: DataFrame, c1: DataFrame,
+      v: Long, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .select(col("ts"), col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("bg"))
+      .select(col("ts"), col("doc_id"), col("bg.w1"), col("bg.w2"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("prob", expr(
+        s"(coalesce(c2, 0L) + 1) * 1000000 div (coalesce(c1, 0L) + $v)"))
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(prob) div count(1)").as("avg_prob_ppm"))
+      .select("doc_id", "n_bigrams", "avg_prob_ppm")
+
   final case class BandRow(docId: Long, ts: java.sql.Timestamp,
       band: Int, bucket: Long)
   final case class BucketAnchor(anchorId: Long)

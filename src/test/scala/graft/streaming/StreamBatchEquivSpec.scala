@@ -38,13 +38,25 @@ class StreamBatchEquivSpec extends SparkSpec {
 
   /** One parquet file per doc with strictly increasing mod times so the
     * file source's timestamp ordering replays arrival order = doc_id
-    * order deterministically. */
-  private def writeDropDir(rows: Seq[(Long, String)]): Path = {
+    * order deterministically. `lateFlushes` appends that many
+    * docs (ids 9990, 9991, …) at event times hours past the real rows,
+    * each in its own file ordered last — watermark advancers for
+    * append-mode aggregation tests. The flush text is TWO tokens:
+    * Catalyst pushes deterministic filters below EventTimeWatermark,
+    * so a 1-token doc would be dropped before the event-time collector
+    * and never advance the watermark (measured: max=null in its
+    * batch); callers exclude ids ≥ 9990 from comparisons instead. */
+  private def writeDropDir(rows: Seq[(Long, String)],
+      lateFlushes: Int = 0): Path = {
     import spark.implicits._
     val dir = Files.createTempDirectory("equiv_drop")
-    rows.zipWithIndex.foreach { case ((id, text), i) =>
+    val flushRows = (0 until lateFlushes).map(k => (9990L + k, "flush flush"))
+    (rows ++ flushRows).zipWithIndex.foreach { case ((id, text), i) =>
+      val late = id >= 9990L && text == "flush flush"
+      val ts = if (late) f"2024-01-01 ${14 + (id - 9990L)}%02d:00:00"
+               else f"2024-01-01 10:00:${i % 60}%02d"
       val one = Files.createTempDirectory("equiv_one")
-      Seq((java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${i % 60}%02d"),
+      Seq((java.sql.Timestamp.valueOf(ts),
           id, text, "en", "s", text.length.toLong))
         .toDF("ts", "doc_id", "text", "lang", "source", "n_chars")
         .coalesce(1).write.mode("overwrite").parquet(one.toString)
@@ -234,6 +246,38 @@ class StreamBatchEquivSpec extends SparkSpec {
       .select("doc_id", "n_bigrams", "avg_prob_ppm")
       .as[(Long, Long, Long)].collect().toSet
     assert(oov == Set((9L, 3L, 1000000L / (0L + v))), s"oov: $oov")
+
+    // the big-model path (stream-static equi joins + watermarked
+    // re-aggregation) must score IDENTICALLY to both the map path and
+    // the batch op — including the OOV add-one floor via its left
+    // joins. Append-mode aggregation only emits a doc's row once the
+    // watermark passes its event time, so the drop dir gets two
+    // staggered LATE "flush" docs and replays file-at-a-time: the
+    // second flush batch runs with the watermark already beyond every
+    // real doc, forcing full state emission before AvailableNow
+    // terminates; flush ids are excluded from the comparison.
+    val dropJ = writeDropDir(rows, lateFlushes = 2)
+    val stream2 = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dropJ.toString)
+    runAvailableNow(Streams.lmScoreStreamJoin(stream2, c2, c1, v),
+      "equiv_lm_join")
+    val joined = spark.table("equiv_lm_join")
+      .where(col("doc_id") < 9990L)
+      .select("doc_id", "n_bigrams", "avg_prob_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(joined == batch,
+      s"join-only: ${joined -- batch}\nbatch-only: ${batch -- joined}")
+    val oovDirJ = writeDropDir(
+      Seq(9L -> "totally unseen words here"), lateFlushes = 2)
+    val oovStream2 = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(oovDirJ.toString)
+    runAvailableNow(Streams.lmScoreStreamJoin(oovStream2, c2, c1, v),
+      "equiv_lm_join_oov")
+    val oovJ = spark.table("equiv_lm_join_oov")
+      .where(col("doc_id") < 9990L)
+      .select("doc_id", "n_bigrams", "avg_prob_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(oovJ == Set((9L, 3L, 1000000L / (0L + v))), s"oov join: $oovJ")
   }
 
   test("stream-stream interval join equals the batch interval join") {
