@@ -88,6 +88,11 @@ object Bench {
       // repeated query mix) raises for the same reason.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2048"))
+      // The lmScore model joins broadcast an AGGREGATED relation (c2 =
+      // corpus-wide bigram counts), so the broadcast future awaits a
+      // corpus-scale build job — at sf1000 that job alone exceeds the
+      // 300 s default await, which assumes the build side is a scan.
+      .config("spark.sql.broadcastTimeout", "3600")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -30,6 +30,9 @@ object Probe {
       // env-overridable so Probe can reproduce the 100-vs-2048 A/B
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2048"))
+      // broadcast build side may be a corpus-scale aggregation (lmScore
+      // c2 model) — the 300 s default await assumes a scan (see Bench)
+      .config("spark.sql.broadcastTimeout", "3600")
     // Optional durability-mode probe (r12 VERDICT #4): route every
     // ops.Checkpoints.pin through a RELIABLE checkpoint to this dir
     // (local disk standing in for HDFS) to measure the snapshot-write

@@ -61,6 +61,9 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2048"))
+      // broadcast build side may be a corpus-scale aggregation (lmScore
+      // c2 model) — the 300 s default await assumes a scan (see Bench)
+      .config("spark.sql.broadcastTimeout", "3600")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

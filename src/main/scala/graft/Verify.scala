@@ -42,6 +42,9 @@ object Verify {
       // env-overridable so knob experiments reproduce through any entry
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2048"))
+      // broadcast build side may be a corpus-scale aggregation (lmScore
+      // c2 model) — the 300 s default await assumes a scan (see Bench)
+      .config("spark.sql.broadcastTimeout", "3600")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
