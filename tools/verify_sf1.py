@@ -57,7 +57,90 @@ def fixpoint_oracle(sql):
         "SELECT src AS vec_id, lbl AS component FROM lab ORDER BY vec_id").df()
 
 
-ORACLE_OVERRIDES = {"llm_cluster_fixpoint": fixpoint_oracle}
+def _staged_scored_table(lm_sql):
+    """Materialize the lmScore per-doc scores as TEMP TABLE scored_t,
+    derived from the shipped SQL's own CTE bodies (so the semantics
+    cannot drift from the checked-in oracle), re-STAGED so the
+    corpus-scale bg CTE is never referenced twice in one statement.
+
+    Why: the shipped text references bg from both the c2 model build
+    and the scoring join; DuckDB materializes multi-referenced CTEs,
+    and at sf1000 that is a 2.66 B-row temp spill that exceeded this
+    box's free disk (r14 — the same wall, role-reversed, that the
+    Spark side hit in r13 before the model-broadcast fix). Staging the
+    two Heaps-scale model relations as temp tables and keeping every
+    bg reference single (single-referenced CTEs inline and STREAM in
+    DuckDB) makes the oracle one streaming pass per bg use — the exact
+    shape the Spark plan runs. Each stage's SELECT body is the shipped
+    text verbatim."""
+    if getattr(_staged_scored_table, "_built_from", None) == lm_sql.strip():
+        return  # both scorer oracles share one corpus-scale build
+    def body(text, start, end):
+        a = text.index(start) + len(start)
+        return text[a:text.index(end, a)]
+    w_b = body(lm_sql, "WITH w AS (", "), bg AS (")
+    bg_b = body(lm_sql, "), bg AS (", "), c2 AS (")
+    c2_b = body(lm_sql, "), c2 AS (", "), c1 AS (")
+    c1_b = body(lm_sql, "), c1 AS (", "), v AS (")
+    v_b = body(lm_sql, "), v AS (", "\n)\nSELECT bg.doc_id")
+    tail = lm_sql[lm_sql.index("\nSELECT bg.doc_id") + 1:]
+    # Chunk every corpus-scale pass by doc_id range: DuckDB's grouped
+    # aggregation spills its INPUT partitions when the probe stream
+    # outgrows memory, and at sf1000 one un-chunked scoring pass spills
+    # ~70 GB (measured — it filled this box's free disk even with the
+    # staged CTEs). Per-doc grouping is exact under doc-range chunking,
+    # and the model build is the standard two-level aggregation
+    # (per-chunk counts, then sum by key — identical for count(*)).
+    lo, hi = con.sql(f"SELECT min(doc_id), max(doc_id) + 1 "
+                     f"FROM ({w_b}) _w").fetchone()
+    n_docs = con.sql(f"SELECT count(*) FROM ({w_b}) _w").fetchone()[0]
+    k = max(2, (n_docs + 4_999_999) // 5_000_000)
+    bounds = [lo + (hi - lo) * i // k for i in range(k + 1)]
+    print(f"  [scorer oracle] {n_docs} docs, {k} doc-range chunks")
+
+    def wbg(a, b):
+        return (f"WITH w AS (SELECT * FROM ({w_b}) _w "
+                f"WHERE doc_id >= {a} AND doc_id < {b}), bg AS ({bg_b})")
+
+    for i in range(k):
+        stmt = f"{wbg(bounds[i], bounds[i + 1])} {c2_b}"
+        con.sql((f"CREATE OR REPLACE TEMP TABLE c2_part AS {stmt}" if i == 0
+                 else f"INSERT INTO c2_part {stmt}"))
+    con.sql("CREATE OR REPLACE TEMP TABLE c2_t AS SELECT w1, w2, "
+            "CAST(sum(c2) AS BIGINT) AS c2 FROM c2_part GROUP BY 1, 2")
+    con.sql("DROP TABLE c2_part")
+    con.sql(f"CREATE OR REPLACE TEMP TABLE c1_t AS "
+            f"WITH c2 AS (SELECT * FROM c2_t) {c1_b}")
+    con.sql(f"CREATE OR REPLACE TEMP TABLE v_t AS {v_b}")
+    for i in range(k):
+        stmt = (f"{wbg(bounds[i], bounds[i + 1])}, "
+                f"c2 AS (SELECT * FROM c2_t), c1 AS (SELECT * FROM c1_t), "
+                f"v AS (SELECT * FROM v_t) {tail}")
+        con.sql((f"CREATE OR REPLACE TEMP TABLE scored_t AS {stmt}" if i == 0
+                 else f"INSERT INTO scored_t {stmt}"))
+    _staged_scored_table._built_from = lm_sql.strip()
+
+
+def lm_score_oracle(sql):
+    _staged_scored_table(sql)
+    return con.sql("SELECT * FROM scored_t ORDER BY doc_id").df()
+
+
+def ppl_buckets_oracle(sql):
+    """The shipped ppl_buckets oracle embeds the whole scorer as its
+    `scored` CTE; stage that via _staged_scored_table and run the
+    bucket tail verbatim against the temp table."""
+    marker = "\n), j AS (\n"
+    head, tail = sql.split(marker, 1)
+    assert head.startswith("WITH scored AS ("), "oracle shape changed"
+    _staged_scored_table(head[len("WITH scored AS ("):])
+    return con.sql("WITH scored AS (SELECT * FROM scored_t), j AS (\n"
+                   + tail).df()
+
+
+ORACLE_OVERRIDES = {"llm_cluster_fixpoint": fixpoint_oracle,
+                    "llm_lm_score": lm_score_oracle,
+                    "llm_ppl_buckets": ppl_buckets_oracle}
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results, fails = {}, []
