@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
 import java.nio.file.attribute.FileTime
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,8 +33,8 @@ import org.apache.spark.sql.types._
   *    The flush text must be ≥2 tokens — Catalyst pushes the scorer's
   *    deterministic token filter below EventTimeWatermark, so a
   *    1-token doc never reaches the event-time collector and cannot
-  *    advance the watermark (measured). Flush ids sit above 9 999 989
-  *    and are excluded from rows-out counts.
+  *    advance the watermark (measured). Flush ids sit above the
+  *    corpus max doc_id and are excluded from rows-out counts.
   *  - Wall time is measured around the replay only (drop-dir prep and
   *    model publication are outside the window); each op also reports
   *    rows written to its parquet sink and the max state rows/bytes
@@ -72,6 +73,7 @@ object StreamBench {
     val dropDir = work.resolve("drop")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docs.count()
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES",
       math.max(8L, nDocs / 50000L).toString).toInt
     val epoch = 1704067200L // 2024-01-01 00:00:00 UTC
@@ -81,14 +83,30 @@ object StreamBench {
       .repartitionByRange(nFiles, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(dropDir.toString)
-    // (modTime, path) replay order: data files already share one write
-    // mod time and sort by part number = doc_id range; flush files get
-    // strictly later mod times so they land in the final batches.
+    // (modTime, path) replay order: the part files land range-sorted by
+    // doc_id under part NUMBER order, but their write-completion mod
+    // times are NOT monotone in part number (tasks finish out of order;
+    // at sf10 a high-range file getting an earlier mtime put its max ts
+    // into batch 1, jumped the watermark to the corpus tail, and every
+    // lower-ts doc arriving later was dropped as late — measured, the
+    // sink lost the first ~29% of ids). Stamp strictly increasing mod
+    // times in part-number order so replay order IS event-time order;
+    // flush files get later mtimes still, landing in the final batches.
+    val baseMs = System.currentTimeMillis()
+    val dataParts = Files.list(dropDir).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
+    dataParts.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p, FileTime.fromMillis(baseMs + 1000L * i))
+    }
+    // Flush ids/event-times derive from the corpus range: ids above
+    // every real doc (real ids reach ~1e9 at sf10 — a constant would
+    // collide), event time past every real ts so the final batches run
+    // with the watermark beyond the whole corpus.
     import spark.implicits._
     Seq(0, 1).foreach { k =>
       val one = work.resolve(s"flush$k")
-      Seq((new java.sql.Timestamp((epoch + nDocs + 86400L * (k + 1)) * 1000L),
-          9999990L + k, "flush flush", "en", "s", 11L))
+      Seq((new java.sql.Timestamp((epoch + maxId + 86400L * (k + 1)) * 1000L),
+          maxId + 10L + k, "flush flush", "en", "s", 11L))
         .toDF("ts", "doc_id", "text", "lang", "source", "n_chars")
         .coalesce(1).write.mode("overwrite").parquet(one.toString)
       val part = Files.list(one).iterator()
@@ -99,8 +117,14 @@ object StreamBench {
       }
       val dst = dropDir.resolve(f"zz-flush-$k.parquet")
       Files.copy(src, dst)
-      Files.setLastModifiedTime(dst,
-        FileTime.fromMillis(System.currentTimeMillis() + 60000L * (k + 1)))
+      // anchor past the LAST data mtime, not "now": with many part
+      // files the stamped ladder extends minutes past baseMs, and a
+      // now-relative flush mtime lands MID-replay — its far-future
+      // event time then jumps the watermark past the whole corpus and
+      // every later-replayed doc is dropped as late (measured at 100
+      // files: only the first ~62 files' docs survived).
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(
+        baseMs + 1000L * dataParts.size + 60000L * (k + 1)))
     }
 
     def stream(maxFiles: Int): DataFrame =
@@ -126,7 +150,7 @@ object StreamBench {
       val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
       val stateBytes = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
       val rowsOut = spark.read.parquet(sink)
-        .where(col("doc_id") < 9999990L).count()
+        .where(col("doc_id") <= maxId).count()
       val r = OpResult(name, wall, rowsIn, rowsOut, rowsIn / wall,
         progress.count(_.numInputRows > 0),
         if (stateRows.isEmpty) 0L else stateRows.max,
