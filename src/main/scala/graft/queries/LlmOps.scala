@@ -2498,11 +2498,15 @@ object LlmOps {
     * tokens, …) — c2 crosses that line an order of magnitude before
     * c1 does; for that regime set
     * `spark.graft.lmScore.broadcastModel=false` and BOTH model joins
-    * fall back to plain equi-joins — Catalyst picks shuffle hash/SMJ
-    * from its size estimates, the corpus shuffles on (w1,w2) then w1
-    * once each, and no task ever holds the model in heap. Scores are
-    * bit-identical under both modes (integer-ppm arithmetic;
-    * LmScoreModeSpec pins it). */
+    * become MERGE-hinted equi-joins: the corpus shuffles on (w1,w2)
+    * then w1 once each, sort-merge never builds an in-heap hash map
+    * of the model, and — the r14-VERDICT #7 point — the hint makes
+    * broadcast IMPOSSIBLE in this mode, so a Catalyst size-estimate
+    * change (or a stats refresh shrinking the model's apparent size
+    * under autoBroadcastJoinThreshold) can never silently ship a
+    * corpus-sized model to every task. Scores are bit-identical under
+    * both modes (integer-ppm arithmetic; LmScoreModeSpec pins both
+    * the strategy and the scores). */
   private[graft] def lmScore(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val bg = lmBigrams(docs)
@@ -2512,8 +2516,8 @@ object LlmOps {
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     val broadcastModel = docs.sparkSession.conf
       .getOption("spark.graft.lmScore.broadcastModel").forall(_.toBoolean)
-    val modelC1 = if (broadcastModel) broadcast(c1) else c1
-    val modelC2 = if (broadcastModel) broadcast(c2) else c2
+    val modelC1 = if (broadcastModel) broadcast(c1) else c1.hint("merge")
+    val modelC2 = if (broadcastModel) broadcast(c2) else c2.hint("merge")
     val v = docs
       .select(explode(split(col("text"), " ")).as("tk"))
       .agg(countDistinct("tk").as("v"))

@@ -275,6 +275,32 @@ object Streams {
   final case class BucketAnchor(anchorId: Long)
   final case class NearDupCandidate(docId: Long, anchorId: Long, band: Int)
 
+  /** The banded (doc_id, ts, band, bucket) projection the LSH candidate
+    * stream runs on — extracted so a batch replay can derive the EXACT
+    * expected anchor-star pairs on the identical band keys (StreamBench
+    * r15: exactness at sf1/sf10 without collecting either side). All
+    * map-side codegen'd expressions: one sha256 per shingle sliced into
+    * eight 32-bit minhashes, `nBands` xxhash64 band keys, posexplode. */
+  def bandedDocs(docs: DataFrame, nBands: Int = 4, rowsPerBand: Int = 2,
+      shingleLen: Int = 3): DataFrame = {
+    require(nBands * rowsPerBand <= 8,
+      "one sha256 yields 8 independent 32-bit minhash slices")
+    val words = split(col("text"), " ")
+    val shingles = transform(
+      sequence(lit(0), greatest(size(words) - shingleLen, lit(0))),
+      i => array_join(slice(words, i + 1, lit(shingleLen)), " "))
+    val mh = (0 until nBands * rowsPerBand).map { j =>
+      array_min(transform(shingles, s =>
+        conv(substring(sha2(s, 256), j * 8 + 1, 8), 16, 10).cast("long")))
+    }
+    val bandKeys = (0 until nBands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand)
+        .map(r => mh(b * rowsPerBand + r))): _*)
+    }
+    docs.select(col("doc_id"), col("ts"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+  }
+
   /** Streaming MinHash-LSH near-dup candidates — the ingest-time flavor
     * of the batch `llm_minhash_lsh` operator: each arriving document is
     * shingled and minhashed PER ROW (higher-order functions, no
@@ -293,7 +319,9 @@ object Streams {
     * deterministic tests, as with [[sessionize]]).
     *
     * Minhash parity with the batch op: 8 independent 32-bit minhash
-    * slices from ONE sha256 per shingle, nBands×rowsPerBand ≤ 8. */
+    * slices from ONE sha256 per shingle, nBands×rowsPerBand ≤ 8,
+    * computed by [[bandedDocs]] (shared with the batch exactness
+    * replay in StreamBench). */
   def nearDupCandidateStream(docs: DataFrame, nBands: Int = 4,
       rowsPerBand: Int = 2, shingleLen: Int = 3, horizonSecs: Long = 3600,
       timeout: GroupStateTimeout = GroupStateTimeout.EventTimeTimeout)
@@ -307,22 +335,8 @@ object Streams {
         timeout == GroupStateTimeout.NoTimeout,
       s"nearDupCandidateStream evicts on event time: pass EventTimeTimeout or NoTimeout, not $timeout")
     import docs.sparkSession.implicits._
-    val words = split(col("text"), " ")
-    val shingles = transform(
-      sequence(lit(0), greatest(size(words) - shingleLen, lit(0))),
-      i => array_join(slice(words, i + 1, lit(shingleLen)), " "))
-    val mh = (0 until nBands * rowsPerBand).map { j =>
-      array_min(transform(shingles, s =>
-        conv(substring(sha2(s, 256), j * 8 + 1, 8), 16, 10).cast("long")))
-    }
-    val bandKeys = (0 until nBands).map { b =>
-      xxhash64((lit(b) +: (0 until rowsPerBand)
-        .map(r => mh(b * rowsPerBand + r))): _*)
-    }
     val useTimers = timeout != GroupStateTimeout.NoTimeout
-    docs
-      .select(col("doc_id"), col("ts"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+    bandedDocs(docs, nBands, rowsPerBand, shingleLen)
       .withWatermark("ts", s"$horizonSecs seconds")
       .select(col("doc_id").as("docId"), col("ts"), col("band"), col("bucket"))
       .as[BandRow]

@@ -63,4 +63,37 @@ class LmScoreModeSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
     }
   }
+
+  test("fallback mode has ZERO broadcast on the model joins even under the " +
+      "DEFAULT auto-broadcast threshold (r14 VERDICT #7)") {
+    // The previous case proves zero-broadcast with auto-broadcast
+    // DISABLED — i.e. that no leftover broadcast() hint survives. The
+    // scale risk is the opposite direction: a conf=false user has a
+    // corpus-sized model, and Catalyst's size ESTIMATE of the tiny-
+    // looking aggregation output sits far under the default 10 MB
+    // autoBroadcastJoinThreshold, so absent a veto Catalyst would
+    // re-broadcast exactly the relation the user said must never be
+    // shipped. The merge hint on both model joins is that veto; this
+    // test runs with the session's default threshold untouched (a
+    // 5-doc model WOULD auto-broadcast without the hint — the first
+    // case's `withHint >= 2` under disabled auto-broadcast only passes
+    // because of explicit broadcast(), so estimates here are small
+    // enough to trip the default threshold). The one-row vocab
+    // crossJoin legitimately broadcasts as a BroadcastNestedLoopJoin
+    // under the default threshold (and SHOULD — it is one row), so the
+    // assertion targets BroadcastHashJoin: the only shape a
+    // re-broadcast MODEL equi-join can take.
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+    spark.conf.set("spark.graft.lmScore.broadcastModel", "false")
+    try {
+      val df = LlmOps.lmScore(docs)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val n = "BroadcastHashJoin\\b".r.findAllIn(plan).length
+      assert(n == 0,
+        s"size-estimate re-broadcast leaked into fallback mode ($n BHJ nodes):\n$plan")
+      assert("SortMergeJoin\\b".r.findAllIn(plan).length >= 2,
+        "both model joins should be sort-merge under the merge hint")
+    } finally spark.conf.unset("spark.graft.lmScore.broadcastModel")
+  }
 }

@@ -157,8 +157,10 @@ for name, sql in sorted(oracle.items()):
     try:
         got = con.sql(f"SELECT * FROM '{spark_glob}'").df()
         if name in ORACLE_OVERRIDES:
-            used_overrides.append(name)
             want = ORACLE_OVERRIDES[name](sql)
+            # Only record the override AFTER it ran: a restaged oracle
+            # that throws must not be listed as "used" (r14 ADVICE).
+            used_overrides.append(name)
         else:
             want = con.sql(sql).df()
     except Exception as e:
