@@ -46,17 +46,30 @@ object Probe {
     // Same untimed warmup as Bench, so probe numbers are comparable to
     // bench rows (first-iteration cost = plan + any shape NOT warmed).
     Warmup.run(spark, sfDir)
+    // Cumulative stop-the-world GC seconds across all collectors — the
+    // per-iteration DELTA separates "the iteration was slow because the
+    // collector ran" from "the data path was slow" (the r14 sf1000
+    // scorer spread 704→1194 s was attributed to GC churn by shape;
+    // the heap-sizing rule in SCALE.md is validated by this number).
+    def gcSec(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val ts = (1 to iters).map { _ =>
+        val g0 = gcSec()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val sec = (System.nanoTime() - t0) / 1e9
+        val gc = gcSec() - g0 // GC inside the timed window only
         graft.ops.Releases.drain() // untimed, like Bench
         System.gc()                // untimed, like Bench (spike hygiene)
-        sec
+        (sec, gc)
       }
-      println(f"$n%-28s ${ts.map(t => f"$t%6.2f").mkString(" ")}")
+      println(f"$n%-28s ${ts.map(t => f"${t._1}%6.2f").mkString(" ")}" +
+        f"   gc: ${ts.map(t => f"${t._2}%5.1f").mkString(" ")}")
     }
     spark.stop()
   }
