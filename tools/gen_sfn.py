@@ -62,8 +62,21 @@ def gen(table, sql):
     if only is not None and table not in only:
         return
     out = f"{dst}/{table}.parquet"
-    con.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
-    rows = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+    if os.environ.get("GEN_SFN_PER_THREAD"):
+        # Parallel writer for the BIG fact tables of a perf-only sweep
+        # dir: a single-file COPY is one writer thread and buffers tens
+        # of GB before flushing (the x1000 lineitem COPY sat 20+ min at
+        # loadavg 1 with a 17 GB RSS and 0 bytes on disk). With
+        # PER_THREAD_OUTPUT the target becomes a DIRECTORY of part
+        # files — Spark reads it identically (and ops.ShuffleWidth
+        # walks it), but a plain DuckDB read needs a glob, so keep
+        # single-file mode (the default) for any dir oracles will read.
+        con.sql(f"COPY ({sql}) TO '{out}' "
+                "(FORMAT PARQUET, PER_THREAD_OUTPUT TRUE)")
+        rows = con.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    else:
+        con.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        rows = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
     print(f"{table:12s} {rows:>10,} rows -> {out}")
 
 R = f"range({n}) t(r)"
