@@ -104,6 +104,20 @@ object Bench {
     awaitIdle()
 
     val loadStart = loadavg()
+    // r15 VERDICT #6: two rounds in a row the checked-in per-round
+    // artifact was a loaded-box window that read as a regression until
+    // the idle pair was consulted. Mark the artifact itself: the window
+    // is "contended" when the 15-min loadavg at the start of the timed
+    // section is >= the same 1.0 gate awaitIdle polls on the 1-min
+    // average (awaitIdle can outwait a 1-min spike, but a high 15-min
+    // average means the box was busy for a chunk of the preceding
+    // quarter hour and likely still is). Readers must prefer an idle
+    // artifact of the same build over a contended one (BASELINE.md).
+    val window = {
+      val load15 = try loadStart.split(" ")(2).toDouble
+        catch { case _: Throwable => 0.0 }
+      if (load15 >= 1.0) "contended" else "idle"
+    }
     var failures = List.empty[String]
     // Option = success; None = failed (emitted as JSON null, never a
     // negative duration a naive sum would absorb).
@@ -192,7 +206,7 @@ object Bench {
     val nOk = results.count(r => r._2.isDefined && r._3.isDefined)
     val nOkFirst = results.count(_._2.isDefined)
     val nOkSteady = results.count(_._3.isDefined)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_failed":${results.length - nOk},"n_ok_first":$nOkFirst,"n_ok_steady":$nOkSteady,"protocol":"steady=min of 2 post-warm runs; idle-wait before timing (r12); steady_runs=whole-suite pass totals, envelope=per-query min over all post-warm samples (r13)","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"steady_runs":$runsJson,"pass_queries":$passesJson,"envelope":$env,"envelope_total":$envelopeTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","failures":$fj,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_failed":${results.length - nOk},"n_ok_first":$nOkFirst,"n_ok_steady":$nOkSteady,"protocol":"steady=min of 2 post-warm runs; idle-wait before timing (r12); steady_runs=whole-suite pass totals, envelope=per-query min over all post-warm samples (r13)","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"steady_runs":$runsJson,"pass_queries":$passesJson,"envelope":$env,"envelope_total":$envelopeTotal,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","window":"$window","failures":$fj,"sf":"$sfDir"}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

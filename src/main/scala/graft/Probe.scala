@@ -53,8 +53,12 @@ object Probe {
     // the heap-sizing rule in SCALE.md is validated by this number).
     def gcSec(): Double = {
       import scala.jdk.CollectionConverters._
+      // beans reporting -1 (collection time undefined / not yet
+      // reported) are EXCLUDED, not clamped: a clamp would charge the
+      // bean's whole lifetime GC time to the iteration in which its
+      // counter first turns real (r15 ADVICE)
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+        .asScala.map(_.getCollectionTime).filter(_ >= 0L).sum / 1e3
     }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)

@@ -123,6 +123,10 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outJson = args.lift(1)
+    // "lshdecomp" runs the banding/state decomposition arms instead of
+    // the full suite (round-16: attribute the LSH stream's wall between
+    // the banding projection and the stateful operator by A/B)
+    val mode = args.lift(2).getOrElse("full")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = graft.ops.ShuffleWidth.forDir(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
@@ -257,6 +261,67 @@ object StreamBench {
       s
     }
 
+    // ---- lshdecomp mode: attribute the LSH stream's wall ------------
+    // Five arms over the same coarse replay (2 files/trigger, 900 s
+    // horizon): banding-only sinks isolate the map-side projection;
+    // "full" arms run the IDENTICAL stateful tail over each banding.
+    // state-op cost ≈ full_X − sink_X. r15 attributed the wall to
+    // "state commit + object serde"; the composable-vs-fused sink pair
+    // measures how much was actually the 8× interpreted-HOF banding.
+    if (mode == "lshdecomp") {
+      import graft.streaming.Streams
+      val et = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout
+      def pairStatsOf(sinkName: String): (Long, String) = {
+        val r = spark.read.parquet(work.resolve(s"sink_$sinkName").toString)
+          .where(col("docId") <= maxId && col("anchorId") <= maxId)
+          .agg(count(lit(1)),
+            sum(xxhash64(col("docId"), col("anchorId"), col("band"))
+              .cast("decimal(38,0)")))
+          .head
+        (r.getLong(0),
+          Option(r.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0"))
+      }
+      val arms = Seq(
+        ("sink_composable", () => Streams.bandedDocsComposable(stream(2)), false),
+        ("sink_fused", () => Streams.bandedDocs(stream(2)), false),
+        ("sink_fused_repart",
+          () => Streams.bandedDocs(stream(2).repartition(parts)), false),
+        ("full_composable",
+          () => Streams.nearDupCandidatesFromBanded(
+            Streams.bandedDocsComposable(stream(2)), 900L, et).toDF(), true),
+        ("full_fused",
+          () => Streams.nearDupCandidatesFromBanded(
+            Streams.bandedDocs(stream(2)), 900L, et).toDF(), true),
+        ("full_fused_repart",
+          () => Streams.nearDupCandidateStream(stream(2), horizonSecs = 900L,
+            docParallelism = parts).toDF(), true))
+      val rows = arms.map { case (name, mk, stateful) =>
+        val r = runOp(name, mk(),
+          idCol = if (stateful) "docId" else "doc_id", horizonSecs = 900L)
+        if (stateful) {
+          val (c, h) = pairStatsOf(name)
+          r.copy(pairCount = Some(c), pairHash = Some(h))
+        } else r
+      }
+      val json = {
+        val ops = rows.map { r =>
+          val extra = (r.pairCount, r.pairHash) match {
+            case (Some(c), Some(h)) => s""", "pair_count": $c, "pair_hash": "$h""""
+            case _ => ""
+          }
+          f""" "${r.name}": {"wall_sec": ${r.wallSec}%.2f, "rows_in": ${r.rowsIn}, "rows_out": ${r.rowsOut}, "batches": ${r.batches}, "max_state_rows": ${r.maxStateRows}$extra}"""
+        }.mkString(",\n")
+        s"""{"sf": "$sfDir", "n_docs": $nDocs, "n_files": $nFiles, "mode": "lshdecomp",
+           | "protocol": "coarse AvailableNow replay (2 files/trigger), 900s horizon, hdfs provider; sink_* = banding projection straight to parquet (no state op), full_* = identical stateful tail over each banding; state-op cost = full_X - sink_X",
+           |$ops
+           |}""".stripMargin
+      }
+      println(json)
+      outJson.foreach(p => Files.writeString(Paths.get(p), json))
+      spark.stop()
+      return
+    }
+
     // ---- the probes ------------------------------------------------
     // maxFilesPerTrigger=2: data replays in nFiles/2 micro-batches and
     // the two flush files land in separate final batches, so the last
@@ -282,9 +347,12 @@ object StreamBench {
     // 3.6 k buckets + batch lag, flat across sf), not the corpus; the
     // corpus-span horizon is the deliberate unbounded contrast AND the
     // configuration whose pair set is exactly batch-replayable.
+    // docParallelism: a 2-file micro-batch is a 2-split scan, which
+    // would serialize the banding projection on an idle 32-core box
+    // (the r15 mis-attribution — see SCALE.md round-16 decomposition)
     def lshStream(horizonSecs: Long): DataFrame =
       graft.streaming.Streams.nearDupCandidateStream(
-        stream(2), horizonSecs = horizonSecs).toDF()
+        stream(2), horizonSecs = horizonSecs, docParallelism = parts).toDF()
     // order-independent exactness reduction: count + sum of per-pair
     // xxhash64 in decimal(38,0) (a LongType sum could overflow — ANSI
     // mode would throw); flush-doc pairs excluded on either endpoint

@@ -41,6 +41,21 @@ import org.apache.spark.sql.SparkSession
   */
 object ImporterMain {
 
+  /** K6 result object as one JSON line — importer.js surfaces the same
+    * fields from import.js:83-90. Db names are derived from the
+    * configured prefix, so they are escaped like any untrusted string
+    * (a quote or backslash in GTFS_IMPORTER_DB_PREFIX must not emit
+    * invalid JSON — ImporterMainSpec's hostile-prefix case). */
+  private[pipeline] def resultJson(r: Import.Result): String = {
+    import graft.ops.JsonOut.q
+    s"""{"importSkipped": ${r.importSkipped}, """ +
+      s""""newDb": ${r.newImport.map(i => q(i.dbName)).getOrElse("null")}, """ +
+      s""""deletedDatabases": [${r.deletedDatabases.map(q).mkString(", ")}], """ +
+      s""""retainedDatabases": [${r.retainedDatabases.map(q).mkString(", ")}], """ +
+      s""""downloadDurationMs": ${r.downloadDurationMs}, """ +
+      s""""importDurationMs": ${r.importDurationMs}}"""
+  }
+
   private def required(name: String): String =
     sys.env.get(name).filter(_.nonEmpty).getOrElse {
       System.err.println(s"Missing/empty $$$name.")
@@ -92,14 +107,7 @@ object ImporterMain {
 
     try {
       val r = Import.importGtfsAtomically(spark, cfg)
-      // K6 result object, one JSON line — importer.js surfaces the same
-      // fields from import.js:83-90
-      println(s"""{"importSkipped": ${r.importSkipped}, """ +
-        s""""newDb": ${r.newImport.map(i => s""""${i.dbName}"""").getOrElse("null")}, """ +
-        s""""deletedDatabases": [${r.deletedDatabases.map(d => s""""$d"""").mkString(", ")}], """ +
-        s""""retainedDatabases": [${r.retainedDatabases.map(d => s""""$d"""").mkString(", ")}], """ +
-        s""""downloadDurationMs": ${r.downloadDurationMs}, """ +
-        s""""importDurationMs": ${r.importDurationMs}}""")
+      println(resultJson(r))
       spark.stop()
     } catch {
       case e: Throwable =>

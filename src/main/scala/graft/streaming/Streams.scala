@@ -278,11 +278,38 @@ object Streams {
   /** The banded (doc_id, ts, band, bucket) projection the LSH candidate
     * stream runs on — extracted so a batch replay can derive the EXACT
     * expected anchor-star pairs on the identical band keys (StreamBench
-    * r15: exactness at sf1/sf10 without collecting either side). All
-    * map-side codegen'd expressions: one sha256 per shingle sliced into
-    * eight 32-bit minhashes, `nBands` xxhash64 band keys, posexplode. */
+    * r15: exactness at sf1/sf10 without collecting either side).
+    *
+    * The banding is ONE fused codegen'd pass per document
+    * ([[graft.functions.MinhashBandKeysExpr]]): each shingle's bytes →
+    * one sha256 → running 32-bit-chunk minima → xxhash64 band keys,
+    * bit-identical to the composable higher-order-function form it
+    * replaced ([[bandedDocsComposable]], kept for the identity spec and
+    * the decomposition probe). The composable form's 8 interpreted
+    * `transform` lambdas — each rebuilding every shingle string AND
+    * re-digesting it, no cross-lambda subexpression elimination — were
+    * ~85% of the r15 StreamBench LSH wall (SCALE.md round-16
+    * decomposition), previously mis-attributed to the stateful
+    * operator. */
   def bandedDocs(docs: DataFrame, nBands: Int = 4, rowsPerBand: Int = 2,
       shingleLen: Int = 3): DataFrame = {
+    require(nBands * rowsPerBand <= 8,
+      "one sha256 yields 8 independent 32-bit minhash slices")
+    graft.functions.MinhashBandKeys.register(docs.sparkSession)
+    val keys = expr(
+      s"minhash_band_keys(split(text, ' '), $shingleLen, $nBands, $rowsPerBand)")
+    docs.select(col("doc_id"), col("ts"),
+      posexplode(keys).as(Seq("band", "bucket")))
+  }
+
+  /** The pre-r16 composable formulation of [[bandedDocs]] — 8
+    * interpreted `transform` lambdas over `sha2` hex strings. Retained
+    * (not used by any operator) as the executable spec the fused
+    * expression is asserted bit-identical against
+    * (MinhashBandKeysSpec) and as the A/B arm of the StreamBench
+    * `lshdecomp` probe. */
+  private[graft] def bandedDocsComposable(docs: DataFrame, nBands: Int = 4,
+      rowsPerBand: Int = 2, shingleLen: Int = 3): DataFrame = {
     require(nBands * rowsPerBand <= 8,
       "one sha256 yields 8 independent 32-bit minhash slices")
     val words = split(col("text"), " ")
@@ -321,10 +348,21 @@ object Streams {
     * Minhash parity with the batch op: 8 independent 32-bit minhash
     * slices from ONE sha256 per shingle, nBands×rowsPerBand ≤ 8,
     * computed by [[bandedDocs]] (shared with the batch exactness
-    * replay in StreamBench). */
+    * replay in StreamBench).
+    *
+    * `docParallelism > 0` repartitions the document stream to that
+    * width BEFORE the banding projection. A file-source micro-batch
+    * inherits the batch's file split count (StreamBench's coarse
+    * replay: 2 files ⇒ 2-way), which serializes the banding work on an
+    * idle 32-core box; a wide source (Kafka with many partitions, many
+    * small drop files) doesn't need it, so 0 = leave the source
+    * partitioning alone. The shuffle it adds moves raw docs once;
+    * banding output (4 rows/doc) is shuffled by the stateful operator
+    * either way. */
   def nearDupCandidateStream(docs: DataFrame, nBands: Int = 4,
       rowsPerBand: Int = 2, shingleLen: Int = 3, horizonSecs: Long = 3600,
-      timeout: GroupStateTimeout = GroupStateTimeout.EventTimeTimeout)
+      timeout: GroupStateTimeout = GroupStateTimeout.EventTimeTimeout,
+      docParallelism: Int = 0)
       : Dataset[NearDupCandidate] = {
     require(nBands * rowsPerBand <= 8,
       "one sha256 yields 8 independent 32-bit minhash slices")
@@ -334,38 +372,64 @@ object Streams {
     require(timeout == GroupStateTimeout.EventTimeTimeout ||
         timeout == GroupStateTimeout.NoTimeout,
       s"nearDupCandidateStream evicts on event time: pass EventTimeTimeout or NoTimeout, not $timeout")
-    import docs.sparkSession.implicits._
+    val spread = if (docParallelism > 0) docs.repartition(docParallelism) else docs
+    nearDupCandidatesFromBanded(
+      bandedDocs(spread, nBands, rowsPerBand, shingleLen),
+      horizonSecs, timeout)
+  }
+
+  /** The anchor-election state operator over an already-banded
+    * projection — split out so the StreamBench `lshdecomp` probe can
+    * run the IDENTICAL stateful tail over either banding formulation
+    * and attribute wall time between the two stages. */
+  private[graft] def nearDupCandidatesFromBanded(banded: DataFrame,
+      horizonSecs: Long, timeout: GroupStateTimeout)
+      : Dataset[NearDupCandidate] = {
+    import banded.sparkSession.implicits._
     val useTimers = timeout != GroupStateTimeout.NoTimeout
-    bandedDocs(docs, nBands, rowsPerBand, shingleLen)
+    // the stateful operator's input rows are flat primitives — event
+    // time travels as unix micros, not java.sql.Timestamp objects, so
+    // the object serde across flatMapGroupsWithState boxes nothing
+    // (the watermark is tracked at the EventTimeWatermark node above
+    // this projection; the operator only reads getCurrentWatermarkMs)
+    banded
       .withWatermark("ts", s"$horizonSecs seconds")
-      .select(col("doc_id").as("docId"), col("ts"), col("band"), col("bucket"))
-      .as[BandRow]
-      .groupByKey(r => (r.band, r.bucket))
+      .select(col("doc_id").as("docId"), unix_micros(col("ts")).as("tsUs"),
+        col("band"), col("bucket"))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(r => (r._3, r._4))
       .flatMapGroupsWithState[BucketAnchor, NearDupCandidate](
         OutputMode.Append(), timeout) {
-        (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketAnchor]) =>
+        (key: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
+            state: GroupState[BucketAnchor]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.docId))
-            var anchor = state.getOption.map(_.anchorId)
-            val out = List.newBuilder[NearDupCandidate]
-            sorted.foreach { r =>
-              anchor match {
-                case None => anchor = Some(r.docId)
-                case Some(a) if r.docId != a =>
-                  out += NearDupCandidate(r.docId, a, key._1)
-                case _ => () // duplicate event for the anchor itself
+            val rs = rows.toArray
+            // anchor = stored anchor, else first arrival by (ts, docId);
+            // every row for a different doc pairs against it (rows FOR
+            // the anchor doc emit nothing) — same emission set as the
+            // sorted fold this replaced, without the per-group sort
+            var minTs = Long.MaxValue; var minDoc = Long.MaxValue
+            var maxTs = Long.MinValue
+            var i = 0
+            while (i < rs.length) {
+              val r = rs(i)
+              if (r._2 < minTs || (r._2 == minTs && r._1 < minDoc)) {
+                minTs = r._2; minDoc = r._1
               }
+              if (r._2 > maxTs) maxTs = r._2
+              i += 1
             }
-            anchor.foreach { a =>
-              state.update(BucketAnchor(a))
-              // timeout must be strictly past the current watermark —
-              // clamp for very late (but not yet dropped) events
-              if (useTimers) state.setTimeoutTimestamp(
-                math.max(sorted.last.ts.getTime, state.getCurrentWatermarkMs()) +
-                  horizonSecs * 1000)
+            val a = state.getOption.map(_.anchorId).getOrElse(minDoc)
+            state.update(BucketAnchor(a))
+            // timeout must be strictly past the current watermark —
+            // clamp for very late (but not yet dropped) events
+            if (useTimers) state.setTimeoutTimestamp(
+              math.max(maxTs / 1000, state.getCurrentWatermarkMs()) +
+                horizonSecs * 1000)
+            rs.iterator.collect {
+              case r if r._1 != a => NearDupCandidate(r._1, a, key._1)
             }
-            out.result().iterator
           }
       }
   }

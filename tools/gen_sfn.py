@@ -42,7 +42,7 @@ An optional 4th arg regenerates a subset of tables in place
 
 region/nation are fixed dimensions and are copied as-is.
 """
-import sys, os
+import sys, os, shutil
 import duckdb
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -62,6 +62,14 @@ def gen(table, sql):
     if only is not None and table not in only:
         return
     out = f"{dst}/{table}.parquet"
+    # In-place rebuilds (the documented 4th-arg use) must clear the
+    # prior target first: DuckDB's COPY will not replace an existing
+    # single-file parquet with a PER_THREAD_OUTPUT directory or vice
+    # versa (r15 ADVICE).
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    elif os.path.exists(out):
+        os.remove(out)
     if os.environ.get("GEN_SFN_PER_THREAD"):
         # Parallel writer for the BIG fact tables of a perf-only sweep
         # dir: a single-file COPY is one writer thread and buffers tens
