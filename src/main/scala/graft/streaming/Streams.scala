@@ -387,20 +387,19 @@ object Streams {
       : Dataset[NearDupCandidate] = {
     import banded.sparkSession.implicits._
     val useTimers = timeout != GroupStateTimeout.NoTimeout
-    // the stateful operator's input rows are flat primitives — event
-    // time travels as unix micros, not java.sql.Timestamp objects, so
-    // the object serde across flatMapGroupsWithState boxes nothing
-    // (the watermark is tracked at the EventTimeWatermark node above
-    // this projection; the operator only reads getCurrentWatermarkMs)
+    // the event-time column travels as the ORIGINAL watermark-tagged
+    // attribute: EventTimeTimeout requires a tagged column in the
+    // stateful operator's child output, and its late-row filter reads
+    // it (a unix_micros projection strips the tag — the analyzer
+    // rejects the query; found by the lshdecomp smoke)
     banded
       .withWatermark("ts", s"$horizonSecs seconds")
-      .select(col("doc_id").as("docId"), unix_micros(col("ts")).as("tsUs"),
-        col("band"), col("bucket"))
-      .as[(Long, Long, Int, Long)]
-      .groupByKey(r => (r._3, r._4))
+      .select(col("doc_id").as("docId"), col("ts"), col("band"), col("bucket"))
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState[BucketAnchor, NearDupCandidate](
         OutputMode.Append(), timeout) {
-        (key: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
+        (key: (Int, Long), rows: Iterator[BandRow],
             state: GroupState[BucketAnchor]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
@@ -413,11 +412,11 @@ object Streams {
             var maxTs = Long.MinValue
             var i = 0
             while (i < rs.length) {
-              val r = rs(i)
-              if (r._2 < minTs || (r._2 == minTs && r._1 < minDoc)) {
-                minTs = r._2; minDoc = r._1
+              val r = rs(i); val t = r.ts.getTime
+              if (t < minTs || (t == minTs && r.docId < minDoc)) {
+                minTs = t; minDoc = r.docId
               }
-              if (r._2 > maxTs) maxTs = r._2
+              if (t > maxTs) maxTs = t
               i += 1
             }
             val a = state.getOption.map(_.anchorId).getOrElse(minDoc)
@@ -425,10 +424,10 @@ object Streams {
             // timeout must be strictly past the current watermark —
             // clamp for very late (but not yet dropped) events
             if (useTimers) state.setTimeoutTimestamp(
-              math.max(maxTs / 1000, state.getCurrentWatermarkMs()) +
+              math.max(maxTs, state.getCurrentWatermarkMs()) +
                 horizonSecs * 1000)
             rs.iterator.collect {
-              case r if r._1 != a => NearDupCandidate(r._1, a, key._1)
+              case r if r.docId != a => NearDupCandidate(r.docId, a, key._1)
             }
           }
       }
