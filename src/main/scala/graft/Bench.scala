@@ -99,25 +99,30 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
 
+    // r15 VERDICT #6: two rounds in a row the checked-in per-round
+    // artifact was a loaded-box window that read as a regression until
+    // the idle pair was consulted. Mark the artifact itself: the window
+    // is "contended" when the 15-min loadavg is >= the same 1.0 gate
+    // awaitIdle polls on the 1-min average (awaitIdle can outwait a
+    // 1-min spike, but a high 15-min average means the box was busy for
+    // a chunk of the preceding quarter hour and likely still is).
+    // Sampled BEFORE the warmup: the signal wanted is FOREIGN load, and
+    // at sf>=1 the suite's own multi-minute warmup pushes the 15-min
+    // average past 1.0 on a perfectly isolated box (the first sf1 pair
+    // started at 15-min 0.98 and would have self-stamped "contended").
+    // Readers must prefer an idle artifact of the same build over a
+    // contended one (BASELINE.md).
+    val window = {
+      val load15 = try loadavg().split(" ")(2).toDouble
+        catch { case _: Throwable => 0.0 }
+      if (load15 >= 1.0) "contended" else "idle"
+    }
+
     // Untimed warmup of the shared codegen shapes (see graft.Warmup).
     Warmup.run(spark, sfDir)
     awaitIdle()
 
     val loadStart = loadavg()
-    // r15 VERDICT #6: two rounds in a row the checked-in per-round
-    // artifact was a loaded-box window that read as a regression until
-    // the idle pair was consulted. Mark the artifact itself: the window
-    // is "contended" when the 15-min loadavg at the start of the timed
-    // section is >= the same 1.0 gate awaitIdle polls on the 1-min
-    // average (awaitIdle can outwait a 1-min spike, but a high 15-min
-    // average means the box was busy for a chunk of the preceding
-    // quarter hour and likely still is). Readers must prefer an idle
-    // artifact of the same build over a contended one (BASELINE.md).
-    val window = {
-      val load15 = try loadStart.split(" ")(2).toDouble
-        catch { case _: Throwable => 0.0 }
-      if (load15 >= 1.0) "contended" else "idle"
-    }
     var failures = List.empty[String]
     // Option = success; None = failed (emitted as JSON null, never a
     // negative duration a naive sum would absorb).

@@ -318,7 +318,7 @@ object StreamBench {
           }
           f""" "${r.name}": {"wall_sec": ${r.wallSec}%.2f, "rows_in": ${r.rowsIn}, "rows_out": ${r.rowsOut}, "batches": ${r.batches}, "max_state_rows": ${r.maxStateRows}$extra}"""
         }.mkString(",\n")
-        s"""{"sf": "$sfDir", "n_docs": $nDocs, "n_files": $nFiles, "mode": "lshdecomp",
+        s"""{"sf": "$sfDir", "n_docs": $nDocs, "n_files": $nFiles, "shuffle_partitions": $parts, "mode": "lshdecomp",
            | "protocol": "coarse AvailableNow replay (2 files/trigger), 900s horizon, hdfs provider; sink_* = banding projection straight to parquet (no state op), full_* = identical stateful tail over each banding; state-op cost = full_X - sink_X",
            |$ops
            |}""".stripMargin
@@ -464,7 +464,7 @@ object StreamBench {
            |   "provider": "${r.provider}", "horizon_secs": ${r.horizonSecs},
            |   "heap_after_gc_bytes": ${r.heapAfterGc}$extra}""".stripMargin
       }.mkString(",\n")
-      s"""{"sf": "$sfDir", "n_docs": $nDocs, "n_files": $nFiles,
+      s"""{"sf": "$sfDir", "n_docs": $nDocs, "n_files": $nFiles, "shuffle_partitions": $parts,
          | "protocol": "AvailableNow replay, maxFilesPerTrigger=2, ts=epoch+doc_id sec, 2 staggered flush docs drain append-mode state; progress via StreamingQueryListener (unbounded, r15); LSH pair sets reduced to count+xxhash64-sum, full-horizon set batch-replayed on the shared banded projection, h15 re-run under RocksDB must be identical",
          | "lsh_expected_full": {"pair_count": $expCount, "pair_hash": "$expHash"},
          | "batch_steady_sec": {"llm_dedup_exact": $batchDedup, "llm_lm_score": $batchLm, "llm_minhash_lsh": $batchLsh},
