@@ -112,11 +112,12 @@ object Bench {
     // started at 15-min 0.98 and would have self-stamped "contended").
     // Readers must prefer an idle artifact of the same build over a
     // contended one (BASELINE.md).
-    val window = {
-      val load15 = try loadavg().split(" ")(2).toDouble
-        catch { case _: Throwable => 0.0 }
-      if (load15 >= 1.0) "contended" else "idle"
-    }
+    // "idle" must be EARNED by a real sub-1.0 reading: a failed
+    // /proc/loadavg read or parse (non-Linux host) stamps "unknown",
+    // never the preferred comparison label (r16 ADVICE).
+    val window = try {
+      if (loadavg().split(" ")(2).toDouble >= 1.0) "contended" else "idle"
+    } catch { case _: Throwable => "unknown" }
 
     // Untimed warmup of the shared codegen shapes (see graft.Warmup).
     Warmup.run(spark, sfDir)

@@ -51,14 +51,19 @@ object Probe {
     // collector ran" from "the data path was slow" (the r14 sf1000
     // scorer spread 704→1194 s was attributed to GC churn by shape;
     // the heap-sizing rule in SCALE.md is validated by this number).
+    // per-bean baselines: a bean's FIRST non-negative reading is its
+    // baseline (delta 0), so neither a -1→real transition nor a bean
+    // appearing mid-run can charge its lifetime collection time to one
+    // iteration (r16 ADVICE: the earlier filter(_ >= 0) still summed
+    // absolute counters, so the first real reading landed whole)
+    val gcBase = scala.collection.mutable.HashMap.empty[String, Long]
     def gcSec(): Double = {
       import scala.jdk.CollectionConverters._
-      // beans reporting -1 (collection time undefined / not yet
-      // reported) are EXCLUDED, not clamped: a clamp would charge the
-      // bean's whole lifetime GC time to the iteration in which its
-      // counter first turns real (r15 ADVICE)
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).filter(_ >= 0L).sum / 1e3
+        .asScala.map { b =>
+          val t = b.getCollectionTime
+          if (t < 0L) 0L else t - gcBase.getOrElseUpdate(b.getName, t)
+        }.sum / 1e3
     }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)

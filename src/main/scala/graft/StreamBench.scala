@@ -128,14 +128,16 @@ object StreamBench {
     // the banding projection and the stateful operator by A/B)
     val mode = args.lift(2).getOrElse("full")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // SPARK_GRAFT_SHUFFLE_PARTS (same override Probe honors): the
-    // derived width walks the DIRECTORY, so a documents-only replay
-    // dir derives narrower than the mixed dir the cross-round batch
-    // steady numbers were taken at (r15 sf10: 1.80 GB mixed → 64;
-    // a documents-only regen → 32, and the batch op's self-join
-    // spills at half width — pin the width to compare across rounds)
+    // Width derives from the TABLE SUBSET this workload reads (only
+    // documents.parquet), not the whole directory (r16 VERDICT #7):
+    // a documents-only replay dir and a mixed dir now derive the SAME
+    // width for the same corpus, so cross-round artifacts compare
+    // without hand-pinning SPARK_GRAFT_SHUFFLE_PARTS (the env
+    // override remains honored for experiments; the derived/pinned
+    // value is recorded in the artifact as "shuffle_partitions").
     val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").map(_.toInt)
-      .getOrElse(graft.ops.ShuffleWidth.forDir(sfDir, cpus.toInt))
+      .getOrElse(graft.ops.ShuffleWidth.forTables(
+        sfDir, Seq("documents"), cpus.toInt))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts.toString)

@@ -47,7 +47,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * row vanishes at the downstream posexplode) where the composable
   * form emitted `xxhash64(b)`-of-nothing keys — banding a document
   * with no text is meaningless either way (`split` never returns
-  * NULL for non-NULL text).
+  * NULL for non-NULL text). Since r17 both DataFrame formulations
+  * filter `text IS NOT NULL` before banding (r16 ADVICE), so their
+  * projections are identical by construction on ANY corpus, NULL
+  * text included.
   */
 case class MinhashBandKeysExpr(child: Expression, shingleLen: Int,
     nBands: Int, rowsPerBand: Int) extends UnaryExpression {

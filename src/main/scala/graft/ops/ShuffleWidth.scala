@@ -120,4 +120,21 @@ private[graft] object ShuffleWidth {
   /** One-call form for the session builders: width for `dir` on
     * `cpus` cores. */
   def forDir(dir: String, cpus: Int): Int = derive(inputBytes(dir), cpus)
+
+  /** Width for the TABLE SUBSET a workload actually reads (r16 VERDICT
+    * #7): `forDir` walks the whole directory, so the width a
+    * documents-only replay derives depends on which OTHER tables
+    * happen to sit next to it — r16's documents-only sf10 regen
+    * (610 MB) derived 32 where r15's mixed dir (1.80 GB) derived 64,
+    * silently moving batch-op walls 6× via spill and forcing a
+    * hand-pinned SPARK_GRAFT_SHUFFLE_PARTS for comparability. Sizing
+    * to the tables the job reads makes the derivation a function of
+    * the WORKLOAD, invariant to directory composition, so same-table
+    * replays derive the same width in any round. Each table resolves
+    * as `dir/<table>.parquet` (file or directory — `inputBytes`
+    * handles both; a missing table contributes 0). */
+  def forTables(dir: String, tables: Seq[String], cpus: Int): Int =
+    derive(tables.map(t =>
+      inputBytes(new org.apache.hadoop.fs.Path(dir, s"$t.parquet").toString)).sum,
+      cpus)
 }

@@ -1141,10 +1141,15 @@ object LlmOps {
     // a document whose single most frequent 3-gram carries ≥20% of its
     // total shingle mass is boilerplate/degenerate. Integer comparison
     // (max*5 ≥ total) — no ratio arithmetic to diverge across engines.
-    // Scale: ONE exchange — the fanout partitions by doc_id, and both
-    // aggregations (per-(doc,shingle) counts, then per-doc stats) are
-    // satisfied by that partitioning, so they run narrow above it; state
-    // per group is bounded by doc length.
+    // Scale (rewritten r17, VERDICT #2): the statistics are strictly
+    // PER-DOCUMENT, so the explode→exchange→two-aggregations pipeline
+    // (one string row per shingle shuffled by doc_id — 5.4× the DuckDB
+    // oracle at sf1 on instance-stream volume alone) collapses into
+    // ONE codegen'd expression per row (functions/RepetitionStats):
+    // scan → project, ZERO shuffle, per-row memory bounded by doc
+    // length. RepetitionStatsSpec pins the expression element-wise
+    // against the old explode+groupBy formulation (exact-bytes
+    // distinctness, NULL-word grouping, <3-token NULL-out).
     "llm_repetition_filter" -> QueryDef(
       doc = "repetition filter: top 3-gram frequency vs total shingle mass",
       oracle = s"""
@@ -1164,17 +1169,17 @@ object LlmOps {
         |FROM freq GROUP BY doc_id
         |ORDER BY doc_id
         |""") { (s, d) =>
-      val docs = Tables.documents(s, d)
+      graft.functions.RepetitionStats.register(s)
+      Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
-      fanout(docs.select(col("doc_id"), explode(shingles(col("toks"))).as("sh")),
-        col("doc_id"))
-        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").cast("long").as("n_shingles"),
-          count(lit(1)).as("n_distinct"),
-          max("c").as("max_freq"),
-          when(max("c") * 5 >= sum("c"), 1L).otherwise(0L).as("repetitive"))
+        .select(col("doc_id"), expr("repetition_stats(toks)").as("st"))
+        .select(col("doc_id"),
+          col("st.n_shingles").as("n_shingles"),
+          col("st.n_distinct").as("n_distinct"),
+          col("st.max_freq").as("max_freq"),
+          when(col("st.max_freq") * 5 >= col("st.n_shingles"), 1L)
+            .otherwise(0L).as("repetitive"))
     },
 
     // Winnowing (MOSS-style) fingerprints: the min shingle-hash of every
@@ -2337,13 +2342,16 @@ object LlmOps {
     // The SCORED side is a 1-in-10 slice — the stream's actual
     // deployment shape (a trickle of ARRIVING docs scored against a
     // published model; it never re-scores a corpus — that is batch
-    // llm_lm_score's job) — and also the honest bench shape: Spark map
-    // lookups are O(|map|) LINEAR scans per element (GetMapValue has no
-    // hash index), so per-row map scoring costs
-    // instances × |model| comparisons — measured 8.5 s for the full
-    // corpus × full model at sf0.1 vs the equivalent join-shaped batch
-    // plan's 0.9 s. See lmScoreStream's scaladoc for the model-size
-    // cliff and the stream-static equi-join alternative.
+    // llm_lm_score's job). The scorer entry point is SIZE-GATED (r17,
+    // closing r16 VERDICT #1): the corpus-built model here grows with
+    // the corpus, and the broadcast-map form's per-bigram element_at
+    // is an O(|model|) LINEAR scan (GetMapValue has no hash index) —
+    // measured superlinear end-to-end, 1.75 s at sf0.1 → 68.4 s at
+    // sf1 (39× wall for 10× data, 60× the DuckDB oracle). Above
+    // maxMapModel bigram entries lmScoreStream auto-delegates to the
+    // O(1)-probe equi-join scorer (lmScoreStreamJoin); both paths are
+    // row-identical (StreamBatchEquivSpec) and LmScoreStreamGateSpec
+    // pins the plan shape on each side of the gate.
     "stream_lm_score" -> QueryDef(
       doc = "the streaming LM scorer's stateless plan on an arriving-doc slice",
       oracle = lmScoreOracleSql.replace("FROM bg JOIN",

@@ -197,19 +197,42 @@ object Streams {
     * the add-one floor ((0+1)·1e6 // (0+V)), so scoring a corpus with
     * its OWN published counts reproduces batch llm_lm_score
     * row-for-row (StreamBatchEquivSpec) while unseen ingest text still
-    * scores sensibly. MODEL-SIZE CLIFF (measured r10): Spark map
+    * scores sensibly. MODEL-SIZE CLIFF (measured r10, r16): Spark map
     * lookups are O(|map|) linear scans per element (GetMapValue has no
     * hash index), so per-row scoring costs instances × |model|
     * comparisons — 8.5 s for a 2.5k-bigram model × 500k instances at
-    * sf0.1 where the join-shaped batch plan takes 0.9 s. The map form
-    * is right for the deployment shape (a trickle of arriving docs,
-    * curated model); for models beyond a few thousand entries or
-    * replay-scale input, swap the map join for a stream-static equi
-    * join on the bigram key — same counts, per-batch shuffle instead
-    * of broadcast (the per-doc mean then needs a watermarked streaming
-    * aggregation, which is the price of the big-model path). */
+    * sf0.1 where the join-shaped batch plan takes 0.9 s, and 68.4 s at
+    * sf1 (39× the wall for 10× the data: the corpus-built model grows
+    * with the corpus, making the map form SUPERLINEAR end-to-end —
+    * r16 VERDICT "What's wrong" #1). The map form is only right for
+    * the deployment shape it was written for: a trickle of arriving
+    * docs against a SMALL curated model. This entry point is therefore
+    * SIZE-GATED (r17): when the model exceeds `maxMapModel` bigram
+    * entries (one cheap count on the static model table at plan-build
+    * time — the model is a published batch artifact, not a stream),
+    * scoring is delegated to [[lmScoreStreamJoin]], whose per-instance
+    * cost is an O(1) hash probe and whose state is horizon-bounded.
+    * Both paths produce row-identical scores (StreamBatchEquivSpec);
+    * LmScoreStreamGateSpec pins the plan shape on each side of the
+    * gate (no one-row map join above the threshold). The join path
+    * needs an event-time column for its watermarked re-aggregation:
+    * streaming callers must provide `ts`; a batch caller without one
+    * (replaying the stream's plan over a static slice) gets a constant
+    * — the watermark node is eliminated on batch plans anyway. */
   def lmScoreStream(docs: DataFrame, c2: DataFrame, c1: DataFrame,
-      v: Long): DataFrame = {
+      v: Long, maxMapModel: Long = 2048L,
+      watermark: String = "1 hour"): DataFrame = {
+    if (c2.count() > maxMapModel) {
+      val withTs =
+        if (docs.columns.contains("ts")) docs
+        else {
+          require(!docs.isStreaming,
+            "lmScoreStream over the big-model join path needs an event-time " +
+              "column `ts` on a streaming source (watermarked re-aggregation)")
+          docs.withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+        }
+      return lmScoreStreamJoin(withTs, c2, c1, v, watermark)
+    }
     val m2 = broadcast(c2.agg(map_from_entries(collect_list(struct(
         concat_ws(" ", col("w1"), col("w2")), col("c2")))).as("m2"))
       .withColumn("jk", lit(1)))
@@ -298,8 +321,14 @@ object Streams {
     graft.functions.MinhashBandKeys.register(docs.sparkSession)
     val keys = expr(
       s"minhash_band_keys(split(text, ' '), $shingleLen, $nBands, $rowsPerBand)")
-    docs.select(col("doc_id"), col("ts"),
-      posexplode(keys).as(Seq("band", "bucket")))
+    // NULL-text docs are filtered in BOTH formulations (r16 ADVICE):
+    // without the filter the fused form dropped them at posexplode
+    // (NULL keys) while the composable form banded them all into the
+    // same xxhash64(band)-of-nothing buckets — the documented
+    // bit-identity now holds by construction on any corpus
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("ts"),
+        posexplode(keys).as(Seq("band", "bucket")))
   }
 
   /** The pre-r16 composable formulation of [[bandedDocs]] — 8
@@ -324,8 +353,10 @@ object Streams {
       xxhash64((lit(b) +: (0 until rowsPerBand)
         .map(r => mh(b * rowsPerBand + r))): _*)
     }
-    docs.select(col("doc_id"), col("ts"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+    // same NULL-text filter as the fused form (see bandedDocs)
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("ts"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
   }
 
   /** Streaming MinHash-LSH near-dup candidates — the ingest-time flavor
@@ -401,9 +432,14 @@ object Streams {
         OutputMode.Append(), timeout) {
         (key: (Int, Long), rows: Iterator[BandRow],
             state: GroupState[BucketAnchor]) =>
+          lazy val rs = rows.toArray
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          // not reachable in current Spark (a non-timeout invocation
+          // always carries rows), but unguarded the fold below would
+          // anchor the bucket at Long.MaxValue and set a timeout from
+          // Long.MinValue — keep the no-op behavior (r16 ADVICE)
+          else if (rs.isEmpty) Iterator.empty
           else {
-            val rs = rows.toArray
             // anchor = stored anchor, else first arrival by (ts, docId);
             // every row for a different doc pairs against it (rows FOR
             // the anchor doc emit nothing) — same emission set as the

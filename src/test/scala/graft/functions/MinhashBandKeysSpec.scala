@@ -58,6 +58,22 @@ class MinhashBandKeysSpec extends SparkSpec {
       Seq.fill(300)("tok").zipWithIndex.map(p => p._1 + p._2).mkString(" "))))
   }
 
+  test("NULL-text docs are dropped identically by both formulations") {
+    import spark.implicits._
+    // r16 ADVICE: pre-filter, the fused form dropped NULL-text docs at
+    // posexplode while the composable form banded them into
+    // xxhash64(band)-of-nothing buckets; both now filter text IS NOT
+    // NULL, so identity holds by construction — asserted through the
+    // DataFrame path with a real NULL row
+    val docs = Seq((1L, Some("a b c d")), (2L, None), (3L, Some("x y z w")))
+      .toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    assertIdentical(docs)
+    val ids = Streams.bandedDocs(docs).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L), s"banded ids: $ids")
+  }
+
   test("bit-identical under non-default band geometry") {
     val docs = docsDf(Seq("a b c d e f g", "x y", "one two three four"))
     assertIdentical(docs, nBands = 2, rowsPerBand = 4)

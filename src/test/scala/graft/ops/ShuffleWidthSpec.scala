@@ -54,6 +54,29 @@ class ShuffleWidthSpec extends AnyFunSuite {
     assert(ShuffleWidth.forDir(dir.toString, cpus = 4) === 4) // floor
   }
 
+  test("forTables sizes the workload's table subset, invariant to dir composition") {
+    // r16 VERDICT #7: a documents-only replay dir and a mixed dir must
+    // derive the SAME width for the same documents table
+    val mixed = Files.createTempDirectory("swidth-mixed")
+    val docsOnly = Files.createTempDirectory("swidth-docs")
+    val docBytes = Array.fill[Byte](40 * 1024 * 1024)(1) // > 1 × TargetBytes
+    Files.write(mixed.resolve("documents.parquet"), docBytes)
+    Files.write(mixed.resolve("lineitem.parquet"),
+      Array.fill[Byte](200 * 1024 * 1024)(2))
+    Files.write(docsOnly.resolve("documents.parquet"), docBytes)
+    val wMixed = ShuffleWidth.forTables(mixed.toString, Seq("documents"), cpus = 2)
+    val wDocs = ShuffleWidth.forTables(docsOnly.toString, Seq("documents"), cpus = 2)
+    assert(wMixed === wDocs)
+    // whereas the whole-dir walk diverges between the two layouts
+    assert(ShuffleWidth.forDir(mixed.toString, cpus = 2) >
+      ShuffleWidth.forDir(docsOnly.toString, cpus = 2))
+    // directory-shaped tables and missing tables (0 bytes) both resolve
+    val dirTable = Files.createDirectory(docsOnly.resolve("events.parquet"))
+    Files.write(dirTable.resolve("part-0.parquet"), Array.fill[Byte](1000)(3))
+    assert(ShuffleWidth.forTables(docsOnly.toString,
+      Seq("documents", "events", "nope"), cpus = 2) === wDocs)
+  }
+
   // r13 VERDICT #4: the sizing heuristic must not be wedged (or skewed)
   // by layout accidents in the input dir.
   test("symlink cycles terminate and count each subtree ONCE") {
