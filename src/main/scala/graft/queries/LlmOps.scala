@@ -2157,12 +2157,18 @@ object LlmOps {
 
     // PII redaction (Dolma/RefinedWeb-style pre-training scrub): count
     // then mask emails, IPv4 addresses and phone-like numbers. Pure
-    // map-only — three codegen'd regexp_replace passes per row, no
-    // shuffle at all (the driver's checker does the ordering), so the
-    // operator scales linearly with input bytes and the regex subset is
-    // pinned to where Java and RE2 agree (see emailPat above). Counts
-    // are taken BEFORE masking; replacement order (email → IP → phone)
-    // matters only in that the placeholders contain no digits.
+    // map-only, no shuffle at all (the driver's checker does the
+    // ordering), so the operator scales linearly with input bytes and
+    // the regex subset is pinned to where Java and RE2 agree (see
+    // emailPat above). Counts are taken BEFORE masking; replacement
+    // order (email → IP → phone) matters only in that the placeholders
+    // contain no digits. Fused r17 (VERDICT #2 family): the six
+    // independent regex expressions (3× regexp_extract_all just for
+    // size + 3 nested regexp_replace — six text renders and scans per
+    // row, 5.2× DuckDB at sf1) collapse into ONE expression
+    // (functions/PiiScrub): one render, five scans (email count+mask
+    // share a pass), no match-array columns. PiiScrubSpec pins it
+    // element-wise against the composable form.
     "llm_pii_redact" -> QueryDef(
       doc = "regex PII scrub: count + mask emails / IPv4s / phones",
       oracle = s"""
@@ -2178,15 +2184,15 @@ object LlmOps {
         |         '$phonePat', '<PHONE>', 'g')), 1, 12) AS red_digest
         |FROM pii ORDER BY doc_id
         |""") { (s, d) =>
+      graft.functions.PiiScrub.register(s, emailPat, ipPat, phonePat)
       Tables.documents(s, d)
         .select(col("doc_id"), piiText.as("t"))
+        .select(col("doc_id"), expr("pii_scrub(t)").as("st"))
         .select(col("doc_id"),
-          size(regexp_extract_all(col("t"), lit(emailPat), lit(0))).cast("long").as("n_email"),
-          size(regexp_extract_all(col("t"), lit(ipPat), lit(0))).cast("long").as("n_ip"),
-          size(regexp_extract_all(col("t"), lit(phonePat), lit(0))).cast("long").as("n_phone"),
-          substring(sha2(regexp_replace(regexp_replace(regexp_replace(col("t"),
-            lit(emailPat), lit("<EMAIL>")), lit(ipPat), lit("<IP>")),
-            lit(phonePat), lit("<PHONE>")), 256), 1, 12).as("red_digest"))
+          col("st.n_email").as("n_email"),
+          col("st.n_ip").as("n_ip"),
+          col("st.n_phone").as("n_phone"),
+          substring(sha2(col("st.redacted"), 256), 1, 12).as("red_digest"))
     },
 
     // Line-level dedup (CCNet/RefinedWeb: drop lines shared across
@@ -2562,7 +2568,14 @@ object LlmOps {
     * query path). */
   private[graft] def lmModel(docs: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long) = {
+    // same materialization rule as lmScore's c2 (the c8 note): the
+    // bigram count table has SEVERAL consumers — c1's derivation, the
+    // scoring join, and (since r17) the size gate's count() in
+    // lmScoreStream — each of which would otherwise rebuild the whole
+    // corpus-scale bigram pipeline; persist once, release deferred
     val c2 = lmBigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Releases.defer(() => { c2.unpersist(true); () })
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     val v = docs.select(explode(split(col("text"), " ")).as("tk"))
       .agg(countDistinct("tk").as("v")).head.getLong(0)
