@@ -1023,25 +1023,25 @@ object LlmOps {
         |GROUP BY doc_id
         |ORDER BY doc_id
         |""") { (s, d) =>
-      val docs = Tables.documents(s, d)
+      // Fused r17 (VERDICT #2 family): the bottom-3 distinct hash
+      // prefixes are strictly PER-DOCUMENT, so the explode → fanout
+      // exchange → collect_set/sort/slice pipeline (every shingle
+      // hashed via a hex-string expression and shuffled) collapses
+      // into ONE codegen'd expression (functions/BottomKShingleHashes):
+      // shingle bytes stream into one sha256 each, the first 48 bits
+      // feed a k-slot distinct-minima insert, only the 3 winners are
+      // hex-rendered. Scan → project, zero shuffle, O(k) state per
+      // row. BottomKShingleHashesSpec pins it element-wise against the
+      // old formulation (hex-order = 48-bit numeric order, prefix
+      // distinctness, concat_ws NULL-word semantics). For bottom-k
+      // over UNBOUNDED groups (cross-doc sets) ops.BottomK remains the
+      // tool; per-doc k is the expression's job.
+      graft.functions.BottomKShingleHashes.register(s)
+      Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
-      // shingle-level fanout parallelizes the sha256 (single-split scan
-      // otherwise hashes on one task); the groupBy's exchange follows
-      // collect_set keeps per-doc state = the doc's distinct shingle
-      // set — BOUNDED here because document length is bounded by the
-      // pipeline's own chunking stage. For unbounded groups use
-      // ops.BottomK.bottomKDistinct (k-bounded buffer through reduce
-      // AND merge); measured trade-off at sf0.1: the typed-udaf serde
-      // costs ~0.5 s (steady 0.67 → 1.1 s), so the builtin wins while
-      // the state bound doesn't bind (BottomKSpec proves equivalence)
-      fanout(docs
-        .select(col("doc_id"), explode(shingles(col("toks"))).as("sh")),
-        col("doc_id"), col("sh"))
-        .groupBy("doc_id")
-        .agg(array_join(slice(array_sort(
-          collect_set(substring(sha2(col("sh"), 256), 1, 12))), 1, 3), "-")
-          .as("fingerprint"))
+        .select(col("doc_id"),
+          expr("bottomk_shingle_hashes(toks, 3)").as("fingerprint"))
     },
 
     // Per-document top TF-IDF terms (keyword extraction). The score is
