@@ -56,6 +56,8 @@ case class PiiScrubExpr(child: Expression, emailPat: String, ipPat: String,
   @transient private lazy val email = Pattern.compile(emailPat)
   @transient private lazy val ip = Pattern.compile(ipPat)
   @transient private lazy val phone = Pattern.compile(phonePat)
+  @transient private lazy val emailRepl =
+    java.util.regex.Matcher.quoteReplacement("<EMAIL>")
 
   /** Count matches of `p` on `s` (regexp_extract_all group-0 size). */
   private def countAll(p: Pattern, s: String): Long = {
@@ -65,11 +67,14 @@ case class PiiScrubExpr(child: Expression, emailPat: String, ipPat: String,
     n
   }
 
-  /** Replace every match of `p` in `s` with the LITERAL `repl`
-    * (placeholders carry no `$`/`\`, so no group-reference quoting is
-    * needed — asserted by the callers' literals). */
+  /** Replace every match of `p` in `s` with the LITERAL `repl`.
+    * `quoteReplacement` makes the literalness structural (r17 ADVICE):
+    * `Matcher.replaceAll` treats `$`/`\` in the replacement as group
+    * references, so a future placeholder containing either would
+    * silently corrupt output; quoting is free for the current
+    * `<EMAIL>`/`<IP>`/`<PHONE>` literals (identical output). */
   private def replaceAll(p: Pattern, s: String, repl: String): String =
-    p.matcher(s).replaceAll(repl)
+    p.matcher(s).replaceAll(java.util.regex.Matcher.quoteReplacement(repl))
 
   def scrub(t: UTF8String): InternalRow = {
     val s = t.toString
@@ -77,7 +82,7 @@ case class PiiScrubExpr(child: Expression, emailPat: String, ipPat: String,
     val em = email.matcher(s)
     var nEmail = 0L
     val sb = new java.lang.StringBuilder(s.length)
-    while (em.find()) { nEmail += 1; em.appendReplacement(sb, "<EMAIL>") }
+    while (em.find()) { nEmail += 1; em.appendReplacement(sb, emailRepl) }
     em.appendTail(sb)
     val afterEmail = sb.toString
     // ip/phone counts are on the ORIGINAL text; their replacements run

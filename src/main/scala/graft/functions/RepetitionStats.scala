@@ -40,10 +40,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - distinctness is by exact shingle BYTES (UTF8String equality,
   *     never a hash sketch), so `n_distinct` cannot collide;
   *   - a shingle containing a NULL word is NULL (`concat`/`||`
-  *     semantics) and groups under the NULL key, exactly as the
-  *     groupBy it replaces treated exploded NULL rows (unreachable
-  *     from `split(text, ' ')`, which never yields NULL elements —
-  *     pinned anyway so the expression is safe on arbitrary arrays);
+  *     semantics) and groups under the NULL key. This edge is NEWLY
+  *     PINNED here, not inherited: the replaced formulation built
+  *     shingles via Winnow.shingles (`concat_ws`, which SKIPS NULL
+  *     words), so the two disagree on NULL-word arrays — unreachable
+  *     from `split(text, ' ')`, which never yields NULL elements, and
+  *     the spec's element-wise identity holds on that reachable
+  *     domain. Pinned so the expression is total on arbitrary arrays
+  *     (r17 ADVICE; [[BottomKShingleHashes]] keeps concat_ws
+  *     semantics because ITS replaced formulation used concat_ws —
+  *     each expression pins the exact semantics of the pipeline it
+  *     replaced rather than a repo-wide NULL-word convention);
   *   - inputs with fewer than 3 words return NULL (callers filter
   *     `size(toks) >= 3`, the oracle's WHERE — NULL-out keeps the
   *     expression total instead of undefined).

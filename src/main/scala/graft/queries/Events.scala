@@ -95,16 +95,12 @@ object Events {
         .agg(count(lit(1)).as("n_transit"))
     },
 
-    // Interval-overlap join: per part, how many pairs of its lineitems
+    // Interval-overlap COUNT: per part, how many pairs of its lineitems
     // had overlapping delivery windows (contention for the same stock).
-    // The part key rides the bucket equi join, the overlap start's
-    // bucket makes each pair exactly-once, and a.lid < b.lid halves the
-    // symmetric pair space. lid = l_orderkey*10 + l_linenumber is
-    // collision-free (linenumber ≤ 7). Width 64 ≥ the max 50-day span:
-    // with a SELECTIVE equi key already bounding the pair space, narrow
-    // buckets only multiply the explode fan-out — width 7 (right for
-    // the point join, where per-bucket point density is the cost) ran
-    // ~3× slower here (probe 6 s → 2 s steady).
+    // The oracle keeps the self-join formulation (a.lid < b.lid halves
+    // the symmetric pair space; lid = l_orderkey*10 + l_linenumber is
+    // collision-free, linenumber ≤ 7); the Spark side computes the SAME
+    // count without ever materializing a pair.
     "q9_overlap_same_part" -> QueryDef(
       doc = "interval-overlap join: same-part lineitem delivery-window pairs",
       oracle = """
@@ -120,23 +116,27 @@ object Events {
         |  ON a.pk = b.pk AND a.lid < b.lid AND a.s < b.e AND b.s < a.e
         |GROUP BY 1 ORDER BY 1
         |""") { (s, d) =>
-      // ONE side build: intervalSelfOverlap aliases the same plan for
-      // both join sides, so the scan+explode shuffle runs once and the
-      // probe is a ReusedExchange read (the two-projection formulation
-      // paid it twice). Width 64 ≥ the max 50-day span; re-swept post
-      // r9 GC fix at sf0.1 AND sf1 (7/16/64/128/256): 64 is the sf0.1
-      // optimum and within noise of the sf1 one (SCALE.md).
+      // Sweep-line pair count (r17 VERDICT "Next" #1): the bucketized
+      // self-join (ops.Ranges.intervalSelfOverlap, retained for
+      // pair-OUTPUT consumers) is nested-loop-free but its output is
+      // O(pairs) — at sf1 ~29 M pair rows flowed into this count, the
+      // suite's worst persistent ratio (2.9–10.4× DuckDB's IEJoin
+      // across windows). A pair COUNT never needs the pairs:
+      // intervalOverlapCount unions start/end events per part and runs
+      // TWO running sums over ONE (pk, event) window — one exchange of
+      // 2 rows per lineitem, zero fan-out, no bucket-width knob. The
+      // a.lid < b.lid predicate in the oracle is exactly
+      // each-unordered-pair-once, which the sweep counts inherently;
+      // parts whose lineitems never overlap produce no oracle row, so
+      // the 0-count rows are filtered.
       val side = Tables.lineitem(s, d).select(
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("lid"),
         col("l_partkey").as("pk"),
         (epochS(col("l_shipdate")) / 86400).cast("long").as("s"),
         ((epochS(col("l_shipdate")) / 86400).cast("long")
           + col("l_quantity").cast("long")).as("e"))
-      graft.ops.Ranges.intervalSelfOverlap(side, Seq("pk"), "s", "e",
-          bucketWidth = 64L)
-        .where(col("lid_a") < col("lid_b"))
-        .groupBy(col("pk").as("l_partkey"))
-        .agg(count(lit(1)).as("n_pairs"))
+      graft.ops.Ranges.intervalOverlapCount(side, Seq("pk"), "s", "e")
+        .where(col("n_pairs") > 0)
+        .select(col("pk").as("l_partkey"), col("n_pairs"))
     },
 
     // Batch sessionization (gaps-and-islands): split each user's event

@@ -218,7 +218,19 @@ object Streams {
     * needs an event-time column for its watermarked re-aggregation:
     * streaming callers must provide `ts`; a batch caller without one
     * (replaying the stream's plan over a static slice) gets a constant
-    * — the watermark node is eliminated on batch plans anyway. */
+    * — the watermark node is eliminated on batch plans anyway.
+    *
+    * PRECONDITIONS (r17 ADVICE): (1) `doc_id` must be unique per
+    * arriving row (within a `ts` for streams) — the map path emits one
+    * row per input row while the join path groups by (ts, doc_id), so
+    * duplicate ids would merge on the join side only and the gate
+    * would stop being a pure plan switch. Document ids are unique in
+    * every producing pipeline here; callers scoring non-keyed text
+    * must mint a per-row id first. (2) The gate reads `c2.count()` at
+    * plan-build time on EVERY call — pass a persisted/cached model
+    * table (llm_lm_score's published `lmModel` is), or an un-persisted
+    * corpus-derived `c2` pays one full extra bigram-pipeline pass just
+    * to pick the plan. */
   def lmScoreStream(docs: DataFrame, c2: DataFrame, c1: DataFrame,
       v: Long, maxMapModel: Long = 2048L,
       watermark: String = "1 hour"): DataFrame = {

@@ -54,6 +54,38 @@ class RangesSpec extends SparkSpec {
     }
   }
 
+  test("overlap count property: sweep-line == brute force pair count (10 cases)") {
+    val rnd = new scala.util.Random(41)
+    (1 to 10).foreach { case_i =>
+      // dense starts on a narrow domain so same-start ties, shared
+      // endpoints (touch = no overlap), and degenerate intervals all
+      // occur; a few keys so the per-key window partitioning is real
+      val ivs = (0 until 1 + rnd.nextInt(40)).map { i =>
+        val s = rnd.nextInt(20).toLong
+        (i.toLong, rnd.nextInt(3).toLong, s, s + rnd.nextInt(8) - 2L)
+      }
+      val want = (for {
+        (ida, ka, sa, ea) <- ivs if ea > sa
+        (idb, kb, sb, eb) <- ivs if eb > sb
+        if ka == kb && ida < idb && sa < eb && sb < ea
+      } yield ka).groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      val got = Ranges.intervalOverlapCount(
+          ivs.toDF("id", "k", "s", "e"), Seq("k"), "s", "e")
+        .where($"n_pairs" > 0)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"case $case_i ivs=$ivs")
+    }
+  }
+
+  test("overlap count: touching intervals don't pair; 0-pair keys emitted") {
+    // [0,5) and [5,9) touch (no pair); [0,5)+[3,7) overlap once
+    val ivs = Seq((1L, 0L, 0L, 5L), (2L, 0L, 5L, 9L), (3L, 0L, 3L, 7L),
+      (4L, 1L, 2L, 4L)).toDF("id", "k", "s", "e")
+    val got = Ranges.intervalOverlapCount(ivs, Seq("k"), "s", "e")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 1L -> 0L)) // (1,3) and (2,3); key 1 alone
+  }
+
   test("half-open boundaries: start included, end excluded") {
     val pts = Seq((1L, 10L), (2L, 20L)).toDF("pid", "p")
     val ivs = Seq((9L, 10L, 20L)).toDF("iid", "s", "e")
