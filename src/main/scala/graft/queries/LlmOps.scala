@@ -52,21 +52,27 @@ object LlmOps {
   private def shingles(tokens: Column): Column =
     graft.ops.Winnow.shingles(tokens)
 
-  /** Bigram instance rows (doc_id, sh) of a `documents`-shaped frame;
-    * docs with <2 tokens drop (no bigram exists). Shared by the batch
-    * `llm_boilerplate` operator and the frequent-set build the
+  /** Per-document DISTINCT bigram rows (doc_id, sh, cnt) of a
+    * `documents`-shaped frame — cnt = in-doc occurrence count, so
+    * Σcnt per doc is the instance count; docs with <2 tokens drop (no
+    * bigram exists). Shared by the batch `llm_boilerplate` /
+    * `llm_vocab_growth` operators and the frequent-set build the
     * streaming scorer consumes. */
-  def bigramInstances(documents: org.apache.spark.sql.DataFrame)
+  def bigramEntries(documents: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val docs = documents
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= 2)
-    // Spark arrays are 0-based (DuckDB lists 1-based) — sequence(1, n-1)
-    // with toks[i-1]/toks[i] matches the oracle's (i, i+1) pairs exactly
-    fanout(docs.select(col("doc_id"),
-      explode(expr("transform(sequence(1, size(toks) - 1), " +
-        "i -> concat(toks[i-1], ' ', toks[i]))")).as("sh")),
-      col("doc_id"))
+    graft.functions.NgramCounts.register(documents.sparkSession)
+    // Fused r18 (r17 VERDICT "Next" #2): one codegen'd pass builds each
+    // document's bigram→count table (functions/NgramCounts — concat
+    // semantics, byte-exact shingles, Σcnt = instance count, pinned by
+    // NgramCountsSpec against the explode it replaces), and `inline`
+    // emits one row per DISTINCT per-doc bigram with its count —
+    // strictly fewer rows than instances, with the per-doc fold already
+    // done, so every consumer aggregates doc-distinct (sh, cnt) pairs
+    // and the corpus is never re-rendered as shingle instance rows.
+    // A NULL ngram_counts result (doc under 2 tokens) explodes to zero
+    // rows — the old `size(toks) >= 2` filter, structurally.
+    documents.select(col("doc_id"),
+      expr("inline(ngram_counts(split(text, ' '), 2))"))
   }
 
   /** The corpus-frequent bigram set behind `llm_boilerplate` (one `sh`
@@ -79,14 +85,12 @@ object LlmOps {
     * to score against. */
   def frequentBigrams(documents: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // df: count_distinct plans map-side (sh, doc_id) dedup BEFORE the
-    // first exchange, so only deduped pairs ever shuffle (instances
-    // never do); the second, sh-only exchange moves one row per
-    // surviving pair group. A repartition(sh)-then-narrow-aggs
-    // formulation would be one exchange but of the FULL instance
-    // stream — strictly more bytes at any scale.
-    val df = bigramInstances(documents).groupBy("sh")
-      .agg(count_distinct(col("doc_id")).as("df"))
+    // df: bigramEntries rows are doc-distinct by construction (one row
+    // per distinct per-doc bigram), so document frequency is a plain
+    // count — no count_distinct two-phase expansion, and the only
+    // corpus-scale exchange ships doc-distinct (sh) rows.
+    val df = bigramEntries(documents).groupBy("sh")
+      .agg(count(lit(1)).as("df"))
     val total = documents.agg(count(lit(1)).as("n_docs"))
     df.crossJoin(broadcast(total))
       .where(col("df") * 20 >= col("n_docs"))
@@ -1508,29 +1512,31 @@ object LlmOps {
         |GROUP BY s.doc_id
         |ORDER BY s.doc_id
         |""") { (s, d) =>
-      // Joins and aggregates key on the RAW bigram string: nothing
-      // stores or exchanges these keys beyond the df pair shuffle, and
-      // a short string costs the same to shuffle as a 12-hex digest, so
-      // hashing every instance (the decontaminate pattern, where hashes
-      // ARE the stored contract) would be pure per-row overhead here
-      // (measured: no steady-state difference either way — the cost
-      // lives in the explode fan-out, not the keying). The instance
-      // fanout is what the probe actually needed: single-split test
-      // files left both explode passes on one task (1.5 s steady);
-      // spread, 0.8-0.95 s. The two consumers do NOT share an exchange
-      // (their subtrees canonicalize differently), so scan+split+
-      // explode runs once per path — recomputing a narrow map stage
-      // beats materializing the instance stream, and at production
-      // partition counts fanout is the identity, so instances never
-      // shuffle at all.
+      // Fused r18 (r17 VERDICT "Next" #2, the RepetitionStats
+      // playbook): both consumers now read bigramEntries — ONE
+      // codegen'd per-doc pass emitting (sh, cnt) per DISTINCT per-doc
+      // bigram — instead of each running its own scan+split+explode
+      // over instance rows (the double explode behind the 2.9×/5.7×
+      // sf1 ratios). The df build aggregates doc-distinct rows with a
+      // plain count; the scoring side joins the broadcast frequent set
+      // and folds per-doc totals from `cnt` sums — instances never
+      // exist as rows on either path. The two subtrees still
+      // canonicalize differently (no shared exchange), but what
+      // recomputes per path is scan + one fused expression, not an
+      // instance explode. Joins key on the RAW bigram string: nothing
+      // stores or exchanges these keys beyond the doc-distinct df
+      // shuffle, and a short string shuffles like a 12-hex digest
+      // (measured r12: keying was never the cost — the fan-out was).
       val boiler = frequentBigrams(Tables.documents(s, d))
         .select(col("sh"), lit(1).as("is_b"))
-      bigramInstances(Tables.documents(s, d))
+      val nBoiler = sum(when(col("is_b").isNotNull, col("cnt"))
+        .otherwise(0L))
+      bigramEntries(Tables.documents(s, d))
         .join(broadcast(boiler), Seq("sh"), "left")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_sh"),
-          count(col("is_b")).as("n_boiler"),
-          when(count(col("is_b")) * 10 >= count(lit(1)) * 9, 1L)
+        .agg(sum(col("cnt")).as("n_sh"),
+          nBoiler.as("n_boiler"),
+          when(nBoiler * 10 >= sum(col("cnt")) * 9, 1L)
             .otherwise(0L).as("flagged"))
     },
 
@@ -1591,7 +1597,7 @@ object LlmOps {
         "shiftleft(element_at(sha256_chunks(sh), 1), 28) + " +
           "shiftright(element_at(sha256_chunks(sh), 2), 4)")
       // is_target rides the bigram explode in-row (same in-row
-      // adjacent-pair build as bigramInstances) — joining a
+      // adjacent-pair build bigramEntries fused) — joining a
       // corpus-sized doc→flag table back onto the instance stream
       // would be a needless corpus-scale shuffle
       val ws = split(col("text"), " ")
@@ -1955,9 +1961,13 @@ object LlmOps {
     // 50 docs, plus the running total — the curve a tokenizer-training
     // pipeline watches to decide when vocab has saturated. Scale: the
     // only corpus-size aggregation is groupBy(gram) → min(doc_id)
-    // (uniform keys, map-side combine); the cumulative window runs over
-    // the BUCKET table (corpus_size / 50 rows — thousands at 100 TB,
-    // never the corpus), so the single-partition window is bounded.
+    // (uniform keys, map-side combine) — fed doc-DISTINCT bigram rows
+    // from the fused bigramEntries pass (r18; the instance explode
+    // shuffled every repeat into the partial aggregate for a value
+    // that only needs each (doc, gram) once); the cumulative window
+    // runs over the BUCKET table (corpus_size / 50 rows — thousands at
+    // 100 TB, never the corpus), so the single-partition window is
+    // bounded.
     "llm_vocab_growth" -> QueryDef(
       doc = "new + cumulative bigram vocab types per 50-doc ingest bucket",
       oracle = """
@@ -1974,13 +1984,8 @@ object LlmOps {
         |       CAST(sum(count(*)) OVER (ORDER BY first_doc // 50) AS BIGINT) AS cum_types
         |FROM first GROUP BY 1 ORDER BY 1
         |""") { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .where(size(col("toks")) >= 2)
-      val grams = docs.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
-        .as("g"))
-      val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      val first = bigramEntries(Tables.documents(s, d))
+        .groupBy("sh").agg(min("doc_id").as("first_doc"))
       val byBucket = first
         .groupBy(expr("first_doc div 50").as("bucket"))
         .agg(count(lit(1)).as("new_types"))
@@ -2271,7 +2276,12 @@ object LlmOps {
     // scale for frequent tokens at 100 TB) just to throw all but 5 away
     // — ops.BottomK caps buffer, spill and shuffle bytes at O(k) per
     // token for the whole aggregate lifecycle (see BottomKDistinctLong:
-    // numeric order, not lexicographic).
+    // numeric order, not lexicographic). Input rows are the fused
+    // per-doc token→count entries (ngram_counts at n=1, r18): the
+    // token explode shuffled one row per INSTANCE into the aggregate
+    // (df via a count_distinct two-phase expansion on top); entries
+    // are doc-distinct, so df is a plain count, tf a cnt sum, and the
+    // exchange carries each (doc, token) once.
     "llm_inverted_index" -> QueryDef(
       doc = "token df/tf + bounded bottom-5 posting list",
       oracle = """
@@ -2293,13 +2303,15 @@ object LlmOps {
         |SELECT a.token, a.df, a.tf, p.postings
         |FROM agg a JOIN p USING (token) ORDER BY token
         |""") { (s, d) =>
+      graft.functions.NgramCounts.register(s)
       Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .groupBy("token")
-        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"),
+        .select(col("doc_id"),
+          expr("inline(ngram_counts(split(text, ' '), 1))"))
+        .groupBy("sh")
+        .agg(count(lit(1)).as("df"), sum(col("cnt")).as("tf"),
           graft.ops.BottomK.bottomKDistinctLong(col("doc_id").cast("long"), 5)
             .as("post_ids"))
-        .select(col("token"), col("df"), col("tf"),
+        .select(col("sh").as("token"), col("df"), col("tf"),
           array_join(transform(col("post_ids"), _.cast("string")), ",")
             .as("postings"))
     },
