@@ -402,16 +402,23 @@ object Clean {
         |       count(*) - count(DISTINCT ssig) AS n_merged
         |FROM sig
         |""") { (s, d) =>
-      val sig = fanout(Tables.lineitem(s, d), col("l_orderkey"))
+      // Streaming ordered digest (r17 VERDICT "Next" #4): the
+      // collect_list + array_sort + render formulation materializes
+      // each polyline as an in-memory array — fine at TPC-H group
+      // sizes (≤7), a scale hazard for real GTFS shapes with
+      // thousands of points per shape_id. ops.OrderedDigest streams
+      // each group through an incremental sha256 behind the SAME
+      // single shuffle — O(1) per-key state at any polyline length.
+      // Sort columns = every component of the rendered point, the
+      // oracle's string_agg ORDER BY tie-breaks exactly.
+      val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           concat(col("l_partkey").cast("string"), lit(","),
             col("l_suppkey").cast("string")).as("pt"))
-        .groupBy("l_orderkey")
-        .agg(sha2(array_join(transform(
-          array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey"),
-            col("l_suppkey"), col("pt")))),
-          x => x.getField("pt")), ";"), 256).as("ssig"))
+      val sig = graft.ops.OrderedDigest.perKeyDigest(li, "l_orderkey",
+        Seq("l_linenumber", "l_partkey", "l_suppkey"), "pt", sep = ";")
+        .select(col("digest").as("ssig"))
       sig.agg(count(lit(1)).as("n_shapes"),
         countDistinct("ssig").as("n_distinct"),
         (count(lit(1)) - countDistinct("ssig")).as("n_merged"))
@@ -472,19 +479,21 @@ object Clean {
         |GROUP BY tsig
         |ORDER BY canonical
         |""") { (s, d) =>
-      val st = fanout(Tables.lineitem(s, d), col("l_orderkey"))
+      // Same streaming ordered-digest path as c14 (real GTFS trips
+      // carry arbitrarily many stop_times per trip_id); the key keeps
+      // its numeric type through the digest so the min-id canonical
+      // election below orders numerically, not lexicographically.
+      val st = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_suppkey"), col("l_quantity"), col("l_discount"),
           concat_ws(":",
             col("l_suppkey").cast("string"),
             col("l_quantity").cast("long").cast("string"),
             round(col("l_discount") * 100).cast("long").cast("string")).as("stp"))
-      val sig = st.groupBy("l_orderkey")
-        .agg(substring(sha2(array_join(transform(
-          array_sort(collect_list(struct(col("l_linenumber"), col("l_suppkey"),
-            col("l_quantity"), col("l_discount"), col("stp")))),
-          x => x.getField("stp")), "|"), 256), 1, 8).as("tsig"))
-      sig.groupBy("tsig")
+      val sig = graft.ops.OrderedDigest.perKeyDigest(st, "l_orderkey",
+        Seq("l_linenumber", "l_suppkey", "l_quantity", "l_discount"), "stp",
+        sep = "|", takeChars = 8)
+      sig.groupBy(col("digest").as("tsig"))
         .agg(min("l_orderkey").as("canonical"), count(lit(1)).as("n_trips"))
     },
   )
