@@ -1592,39 +1592,62 @@ object LlmOps {
         |FROM bg JOIN ratio USING (b)
         |GROUP BY 1 ORDER BY 1
         |""") { (s, d) =>
-      graft.functions.Sha256Chunks.register(s)
-      val hv = expr(
-        "shiftleft(element_at(sha256_chunks(sh), 1), 28) + " +
-          "shiftright(element_at(sha256_chunks(sh), 2), 4)")
-      // is_target rides the bigram explode in-row (same in-row
-      // adjacent-pair build bigramEntries fused) — joining a
-      // corpus-sized doc→flag table back onto the instance stream
-      // would be a needless corpus-scale shuffle
-      val ws = split(col("text"), " ")
-      val bg = fanout(Tables.documents(s, d)
-          .where(size(ws) >= 2)
-          .select(col("doc_id"), (col("lang") === "en").as("is_target"),
-            ws.as("ws")), col("doc_id"))
-        .select(col("doc_id"), col("is_target"), explode(expr(
-          "transform(sequence(1, size(ws) - 1), i -> " +
-            "concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("sh"))
-        .select(col("doc_id"), col("is_target"), pmod(hv, lit(64L)).as("b"))
+      // Fused r18 (r17 VERDICT "Next" #5 audit): the per-doc bucket
+      // HISTOGRAM is the whole DSIR feature — so the bigram instance
+      // stream (explode + per-instance sha expressions, run TWICE for
+      // the two consumers) collapses into functions/DsirBuckets, one
+      // codegen'd pass per scan. The stats side aggregates
+      // B-bounded posexplode rows (64 per doc, map-side-combined to
+      // ≤64 per partition); the scoring side never shuffles AT ALL —
+      // per-doc score = hist · broadcast ratio array (zip_with over
+      // 64 elements), output map-only. is_target still rides in-row.
+      graft.functions.DsirBuckets.register(s)
+      val B = 64
+      // hists has TWO consumers (bucket stats, scoring) whose subtrees
+      // cannot share an exchange — and recomputing it means a second
+      // full sha256-per-bigram pass, the query's dominant cost.
+      // PERSIST is the scale-right call here (unlike the raw instance
+      // stream, which is never persisted): a histogram row is
+      // ~(8 + 1 + 8·B) bytes/doc ≈ 0.5% of corpus text size, spilling
+      // to local disk beyond memory — the cheap artifact, the sha pass
+      // the expensive one. Released via ops.Releases like the LM model.
+      val hists = Tables.documents(s, d)
+        .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+          expr(s"dsir_bucket_hist(split(text, ' '), $B)").as("hist"))
+        .where(col("hist").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Releases.defer(() => { hists.unpersist(true); () })
       // NOTE on the ×1e6 numerator: exact at any SF the tests run
       // ((n_tgt+1)·(raw_total+64)·1e6 < 2^63 up to ~10^12 instances);
       // a >10 TB-corpus deployment rescales the fixed point (1e4) or
       // splits the division — the ratio stays a 64-row broadcast
-      val stats = bg.groupBy("b").agg(
-        count(lit(1)).as("n_raw"),
-        count(when(col("is_target"), 1)).as("n_tgt"))
+      val stats = hists
+        .select(col("is_target"), posexplode(col("hist")).as(Seq("b", "c")))
+        .where(col("c") > 0) // a bucket no instance hit is absent from
+                             // the oracle's stats CTE too
+        .groupBy("b").agg(
+          sum("c").as("n_raw"),
+          sum(when(col("is_target"), col("c")).otherwise(0L)).as("n_tgt"))
       val tot = stats.agg(sum("n_raw").as("raw_total"), sum("n_tgt").as("tgt_total"))
-      val ratio = stats.crossJoin(broadcast(tot))
+      // ratio as ONE broadcast row holding the bucket-indexed array
+      // (empty buckets score 0 — no doc has a count there by
+      // construction, so the value never contributes)
+      val ratioRow = stats.crossJoin(broadcast(tot))
         .select(col("b"), expr(
           "((n_tgt + 1) * (raw_total + 64) * 1000000)" +
             " div ((n_raw + 1) * (tgt_total + 64))").as("r_ppm"))
-      bg.join(broadcast(ratio), Seq("b"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          expr("sum(r_ppm) div count(1)").cast("long").as("dsir_ppm"))
+        .agg(map_from_entries(collect_list(struct(col("b"), col("r_ppm"))))
+          .as("rm"))
+        .select(expr(
+          s"transform(sequence(0, ${B - 1}), i -> coalesce(element_at(rm, i), 0L))")
+          .as("rarr"))
+      hists.crossJoin(broadcast(ratioRow))
+        .select(col("doc_id"),
+          expr("aggregate(hist, 0L, (a, x) -> a + x)").as("n_bigrams"),
+          expr("aggregate(zip_with(hist, rarr, (c, r) -> c * r), 0L, " +
+            "(a, x) -> a + x)").as("wsum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("wsum div n_bigrams").cast("long").as("dsir_ppm"))
     },
 
     // BM25-family keyword retrieval, top-k: the query-side twin of
