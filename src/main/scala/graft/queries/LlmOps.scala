@@ -97,6 +97,37 @@ object LlmOps {
       .select(col("sh"))
   }
 
+  /** The sketch side of `llm_approx_stats` — HLL++ cardinalities and
+    * approx length quantiles per lang — extracted so the 100 TB path
+    * (run the sketches ALONE; exact companions don't exist there) and
+    * the spec (ApproxStatsSpec: error bounds + repartition
+    * invariance) share the exact plan the audit query flags against.
+    * Token-level HLL from the exploded stream (doc_id HLL alongside
+    * demonstrates the estimator under heavy per-key duplication);
+    * quantiles from DOC-level rows so they estimate the same statistic
+    * as llm_length_percentiles' exact answer. */
+  private[graft] def approxStatsEstimates(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs0 = Tables.documents(s, d)
+    val tokenCards = fanout(docs0
+        .select(col("lang"), col("doc_id"),
+          explode(split(col("text"), " ")).as("token")), col("doc_id"))
+      .groupBy("lang").agg(
+        approx_count_distinct(col("token"), rsd = 0.02)
+          .as("distinct_tokens"),
+        approx_count_distinct(col("doc_id"), rsd = 0.02).as("n_docs_est"))
+    val lengthQs = docs0
+      .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy("lang").agg(
+        percentile_approx(col("n_tok"), lit(0.5), lit(10000))
+          .as("p50_tokens_est"),
+        percentile_approx(col("n_tok"), lit(0.9), lit(10000))
+          .as("p90_tokens_est"))
+    // both sides are |languages| rows — the join is trivially local
+    tokenCards.join(lengthQs, Seq("lang"))
+  }
+
   private val shingleSql = // per-doc shingle rows; expects `toks` list col
     """SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
       |FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
@@ -969,36 +1000,99 @@ object LlmOps {
     // mergeable sketches — HyperLogLog++ for cardinality,
     // QuantileSummaries for quantiles — which combine as map-side
     // partial aggregates (sketch bytes per partition, never value
-    // sets) and merge associatively across any partitioning. Sketch
-    // estimates are estimator-defined, not SQL-semantics-defined, so
-    // there is NO DuckDB oracle (its approx functions implement
-    // different estimators); ApproxStatsSpec instead proves the
-    // documented error bounds against the exact answers and that the
-    // estimate is invariant under repartitioning (merge determinism).
-    "llm_approx_stats" -> QueryDef.noOracle(
-      doc = "HLL++ distinct tokens + approx length quantiles per lang") {
-      (s, d) =>
+    // sets) and merge associatively across any partitioning.
+    //
+    // Sketch estimates are estimator-defined, not SQL-semantics-
+    // defined, so no oracle can hash-match the ESTIMATES (DuckDB's
+    // approx functions implement different estimators). What IS
+    // oracle-checkable — r17 VERDICT "Next" #7, clearing the board's
+    // one `no_oracle` row — is the sketch CONTRACT: the query outputs
+    // the exact per-lang statistics (deterministic, both engines
+    // agree) plus 1/0 flags asserting each estimate landed inside its
+    // documented bound of the exact value computed IN THE SAME RUN;
+    // the oracle recomputes the exact columns and asserts the flags
+    // as the constant 1 the contract requires. A broken estimator
+    // flips a flag to 0 → hash mismatch → red driver row. The exact
+    // companions exist only to make the bound driver-visible; the
+    // sketch side ([[approxStatsEstimates]], unchanged, also
+    // spec-bounded by ApproxStatsSpec incl. repartition-invariance)
+    // remains the scale path — at 100 TB a consumer runs the
+    // estimates alone, and this query is the audit that runs on the
+    // slice where exact is affordable.
+    "llm_approx_stats" -> QueryDef(
+      doc = "sketch-contract audit: exact per-lang stats + in-bounds flags",
+      oracle = """
+        |WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        |), card AS (
+        |  SELECT lang, count(DISTINCT token) AS distinct_tokens
+        |  FROM tok GROUP BY 1
+        |), nd AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+        |), counts AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS n_tok, count(*) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT lang, n_tok,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY n_tok) AS cum,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM counts
+        |), pct AS (
+        |  SELECT lang,
+        |         CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN n_tok END) AS BIGINT) AS p50_tokens,
+        |         CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN n_tok END) AS BIGINT) AS p90_tokens
+        |  FROM cum GROUP BY 1
+        |)
+        |SELECT nd.lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(distinct_tokens AS BIGINT) AS distinct_tokens,
+        |       p50_tokens, p90_tokens,
+        |       CAST(1 AS BIGINT) AS hll_tokens_ok,
+        |       CAST(1 AS BIGINT) AS hll_docs_ok,
+        |       CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok
+        |FROM nd JOIN card USING (lang) JOIN pct USING (lang)
+        |ORDER BY lang
+        |""") { (s, d) =>
       val docs0 = Tables.documents(s, d)
-      // token-level HLL from the exploded stream (doc_id HLL alongside
-      // demonstrates the estimator under heavy per-key duplication);
-      // quantiles from DOC-level rows so they estimate the same
-      // statistic as llm_length_percentiles' exact answer
-      val tokenCards = fanout(docs0
-          .select(col("lang"), col("doc_id"),
-            explode(split(col("text"), " ")).as("token")), col("doc_id"))
-        .groupBy("lang").agg(
-          approx_count_distinct(col("token"), rsd = 0.02)
-            .as("distinct_tokens"),
-          approx_count_distinct(col("doc_id"), rsd = 0.02).as("n_docs_est"))
-      val lengthQs = docs0
+      val est = approxStatsEstimates(s, d).select(col("lang"),
+        col("distinct_tokens").as("tok_est"), col("n_docs_est").as("docs_est"),
+        col("p50_tokens_est").as("p50_est"), col("p90_tokens_est").as("p90_est"))
+      val exactCard = docs0
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang").agg(count_distinct(col("token")).as("distinct_tokens"))
+      val nDocs = docs0.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val counts = docs0
         .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
-        .groupBy("lang").agg(
-          percentile_approx(col("n_tok"), lit(0.5), lit(10000))
-            .as("p50_tokens_est"),
-          percentile_approx(col("n_tok"), lit(0.9), lit(10000))
-            .as("p90_tokens_est"))
-      // both sides are |languages| rows — the join is trivially local
-      tokenCards.join(lengthQs, Seq("lang"))
+        .groupBy("lang", "n_tok").agg(count(lit(1)).as("c"))
+      val cum = graft.ops.ExactRank.prefixSum(counts, "lang",
+        Seq(asc("n_tok")), col("c"))
+      def vAt(rank: Column) =
+        min(when(col("cum") >= rank, col("n_tok"))).cast("long")
+      // exact rank windows for the quantile flags: percentile_approx at
+      // accuracy 10000 has rank error ≤ n/10000; ±1% of ranks is 100×
+      // slack, so a flag flip means a broken estimator, not noise
+      val pct = cum.groupBy("lang").agg(
+        vAt(expr("(n + 1) div 2")).as("p50_tokens"),
+        vAt(expr("(9 * n + 9) div 10")).as("p90_tokens"),
+        vAt(expr("greatest((49 * n) div 100, 1)")).as("p50_lo"),
+        vAt(expr("least((51 * n + 99) div 100, n)")).as("p50_hi"),
+        vAt(expr("greatest((89 * n) div 100, 1)")).as("p90_lo"),
+        vAt(expr("least((91 * n + 99) div 100, n)")).as("p90_hi"))
+      // rsd 0.02 is a standard deviation — the 10% bound is 5σ; the
+      // max(1, …) floor keeps tiny cardinalities honest
+      def okHll(e: Column, x: Column) =
+        when(abs(e - x) <= greatest(floor(x / 10).cast("long"), lit(1L)),
+          1L).otherwise(0L)
+      def okPct(e: Column, lo: Column, hi: Column) =
+        when(e.cast("long").between(lo, hi), 1L).otherwise(0L)
+      // every side is |languages| rows — the joins are trivially local
+      nDocs.join(exactCard, Seq("lang")).join(pct, Seq("lang"))
+        .join(est, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("distinct_tokens"),
+          col("p50_tokens"), col("p90_tokens"),
+          okHll(col("tok_est"), col("distinct_tokens")).as("hll_tokens_ok"),
+          okHll(col("docs_est"), col("n_docs")).as("hll_docs_ok"),
+          okPct(col("p50_est"), col("p50_lo"), col("p50_hi")).as("p50_ok"),
+          okPct(col("p90_est"), col("p90_lo"), col("p90_hi")).as("p90_ok"))
     },
 
     // Document fingerprinting: bottom-3 sketch of shingle hashes

@@ -18,7 +18,7 @@ class ApproxStatsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
 
-  private def approx() = LlmOps.defs("llm_approx_stats").fn(spark, sf)
+  private def approx() = LlmOps.approxStatsEstimates(spark, sf)
     .select("lang", "distinct_tokens", "n_docs_est",
       "p50_tokens_est", "p90_tokens_est")
     .as[(String, Long, Long, Long, Long)].collect()
@@ -60,6 +60,17 @@ class ApproxStatsSpec extends SparkSpec {
       }
       rankRange(0.5, est(lang)._4)
       rankRange(0.9, est(lang)._5)
+    }
+  }
+
+  test("the audit query's in-bounds flags all read 1 (driver contract)") {
+    val rows = LlmOps.defs("llm_approx_stats").fn(spark, sf)
+      .select("lang", "hll_tokens_ok", "hll_docs_ok", "p50_ok", "p90_ok")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, a, b, c, d) =>
+      assert(a == 1L && b == 1L && c == 1L && d == 1L,
+        s"$lang flags: hll_tokens=$a hll_docs=$b p50=$c p90=$d")
     }
   }
 
