@@ -36,14 +36,26 @@ object Views {
         substring(c, 7, 2).cast("int")))
       .otherwise(raise_error(concat(lit("invalid yyyyMMdd date: "), c)))
 
+  /** GTFS date column as DATE: parse the spec's yyyyMMdd strings, but
+    * pass an already-DATE column through untouched. The fast path is
+    * for INTERNAL producers (a synthesized calendar_dates frame, a
+    * previous pipeline stage that already parsed) — rendering a date
+    * to its string form just so the next operator can parse it back is
+    * a pure per-row tax at feed scale (c8 at sf1: 8.4 M synthesized
+    * rows × render + make_date). CSV-sourced feeds are STRING-typed
+    * and take the parse path unchanged. */
+  private def asGtfsDate(df: DataFrame, c: String): Column =
+    if (df.schema(c).dataType == org.apache.spark.sql.types.DateType) col(c)
+    else parseYyyymmdd(col(c))
+
   /** V1: service_days — one row (service_id, svc_date) per active day:
     * expand calendar's weekly mask over [start_date, end_date], add
     * exception_type=1 dates, remove exception_type=2 dates. */
   def serviceDays(feed: Feed): DataFrame = {
     val fromCal = feed.get("calendar").map { cal =>
       cal.select(col("service_id"),
-        parseYyyymmdd(col("start_date")).as("d0"),
-        parseYyyymmdd(col("end_date")).as("d1"),
+        asGtfsDate(cal, "start_date").as("d0"),
+        asGtfsDate(cal, "end_date").as("d1"),
         array(col("monday"), col("tuesday"), col("wednesday"), col("thursday"),
           col("friday"), col("saturday"), col("sunday")).as("mask"))
         .where(col("d0").isNotNull && col("d1").isNotNull && col("d0") <= col("d1"))
@@ -53,8 +65,8 @@ object Views {
         .where(element_at(col("mask"), expr("weekday(svc_date)") + 1) === 1)
         .select("service_id", "svc_date")
     }
-    val cd = feed.get("calendar_dates").map(_.select(col("service_id"),
-      parseYyyymmdd(col("date")).as("svc_date"), col("exception_type")))
+    val cd = feed.get("calendar_dates").map(t => t.select(col("service_id"),
+      asGtfsDate(t, "date").as("svc_date"), col("exception_type")))
     val added = cd.map(_.where(col("exception_type") === 1)
       .select("service_id", "svc_date"))
     val removed = cd.map(_.where(col("exception_type") === 2)

@@ -520,8 +520,10 @@ object Clean {
           .when(variant === 1, dow.isin(0, 2, 4))
           .when(variant === 2, dow < 5 && off % 9 =!= 0)
           .otherwise(off % 3 === 0))
-    val cd = days.select(col("service_id"),
-      date_format(col("dt"), "yyyyMMdd").as("date"),
+    // the synthesized calendar_dates keeps its DATE type: serviceDays'
+    // typed-date fast path (Views.asGtfsDate) skips the render+reparse
+    // round-trip the yyyyMMdd string form paid on every expanded day
+    val cd = days.select(col("service_id"), col("dt").as("date"),
       lit(1).as("exception_type"))
     val minimized = graft.gtfs.Clean.minimizeServices(Map("calendar_dates" -> cd))
     val dowNames = Seq("monday", "tuesday", "wednesday", "thursday",

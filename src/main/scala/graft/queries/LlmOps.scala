@@ -70,8 +70,11 @@ object LlmOps {
     // done, so every consumer aggregates doc-distinct (sh, cnt) pairs
     // and the corpus is never re-rendered as shingle instance rows.
     // A NULL ngram_counts result (doc under 2 tokens) explodes to zero
-    // rows — the old `size(toks) >= 2` filter, structurally.
-    documents.select(col("doc_id"),
+    // rows — the old `size(toks) >= 2` filter, structurally. fanout:
+    // the fused pass runs pre-exchange, so single-split test inputs
+    // would serialize it on one task (r17 ADVICE); identity at
+    // production split counts.
+    fanout(documents, col("doc_id")).select(col("doc_id"),
       expr("inline(ngram_counts(split(text, ' '), 2))"))
   }
 
@@ -1135,7 +1138,12 @@ object LlmOps {
       // over UNBOUNDED groups (cross-doc sets) ops.BottomK remains the
       // tool; per-doc k is the expression's job.
       graft.functions.BottomKShingleHashes.register(s)
-      Tables.documents(s, d)
+      // fanout BEFORE the fused pass (r17 ADVICE): with the whole
+      // pipeline now pre-exchange, a single-split documents.parquet
+      // (the test files) would run every sha256 on ONE task; the
+      // spread shuffles cheap (doc_id, text) rows and is the identity
+      // at production split counts
+      fanout(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
         .select(col("doc_id"),
@@ -1268,7 +1276,9 @@ object LlmOps {
         |ORDER BY doc_id
         |""") { (s, d) =>
       graft.functions.RepetitionStats.register(s)
-      Tables.documents(s, d)
+      // fanout: single-split inputs would run the fused pass on one
+      // task (r17 ADVICE); identity at production split counts
+      fanout(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
         .select(col("doc_id"), expr("repetition_stats(toks)").as("st"))
@@ -1705,7 +1715,7 @@ object LlmOps {
       // ~(8 + 1 + 8·B) bytes/doc ≈ 0.5% of corpus text size, spilling
       // to local disk beyond memory — the cheap artifact, the sha pass
       // the expensive one. Released via ops.Releases like the LM model.
-      val hists = Tables.documents(s, d)
+      val hists = fanout(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), (col("lang") === "en").as("is_target"),
           expr(s"dsir_bucket_hist(split(text, ' '), $B)").as("hist"))
         .where(col("hist").isNotNull)
@@ -2307,7 +2317,9 @@ object LlmOps {
         |FROM pii ORDER BY doc_id
         |""") { (s, d) =>
       graft.functions.PiiScrub.register(s, emailPat, ipPat, phonePat)
-      Tables.documents(s, d)
+      // fanout: single-split inputs would run every regex on one task
+      // (r17 ADVICE); identity at production split counts
+      fanout(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), piiText.as("t"))
         .select(col("doc_id"), expr("pii_scrub(t)").as("st"))
         .select(col("doc_id"),
@@ -2421,7 +2433,7 @@ object LlmOps {
         |FROM agg a JOIN p USING (token) ORDER BY token
         |""") { (s, d) =>
       graft.functions.NgramCounts.register(s)
-      Tables.documents(s, d)
+      fanout(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"),
           expr("inline(ngram_counts(split(text, ' '), 1))"))
         .groupBy("sh")
