@@ -125,8 +125,14 @@ object StreamBench {
     val outJson = args.lift(1)
     // "lshdecomp" runs the banding/state decomposition arms instead of
     // the full suite (round-16: attribute the LSH stream's wall between
-    // the banding projection and the stateful operator by A/B)
+    // the banding projection and the stateful operator by A/B).
+    // "lsh" (r18, the sf1000 decade) runs ONLY the LSH arms — h900
+    // hdfs, h900 rocksdb, full-horizon — with the FULL-horizon arm
+    // under RocksDB: at 50 M docs the corpus-span state (every (band,
+    // bucket) anchor) no longer belongs in executor heap, which is
+    // exactly the provider story the decade is meant to measure.
     val mode = args.lift(2).getOrElse("full")
+    val liteLsh = mode == "lsh"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Width derives from the TABLE SUBSET this workload reads (only
     // documents.parquet), not the whole directory (r16 VERDICT #7):
@@ -338,16 +344,19 @@ object StreamBench {
     // Dedup: 15-min horizon over the 1-doc/s synthetic arrival ⇒ state
     // holds ~900 in-horizon digests per batch tail, NOT the corpus —
     // the bounded-state contract, observable in maxStateRows.
-    val dedup = runOp("dedupDocStream",
-      graft.streaming.Streams.dedupDocStream(stream(2), "15 minutes"))
-    // LM scorer, big-model path: model published by the batch pass
-    // (untimed — it is the batch op's output), stream scores against it
-    // via stream-static equi joins + watermarked re-aggregation.
-    val (c2, c1, v) = graft.queries.LlmOps.lmModel(docs)
-    c2.persist(); c1.persist(); c2.count(); c1.count()
-    val lmJoin = runOp("lmScoreStreamJoin",
-      graft.streaming.Streams.lmScoreStreamJoin(
-        stream(2), c2, c1, v, "15 minutes"))
+    val coreOps: Seq[OpResult] = if (liteLsh) Seq.empty else {
+      val dedup = runOp("dedupDocStream",
+        graft.streaming.Streams.dedupDocStream(stream(2), "15 minutes"))
+      // LM scorer, big-model path: model published by the batch pass
+      // (untimed — it is the batch op's output), stream scores against it
+      // via stream-static equi joins + watermarked re-aggregation.
+      val (c2, c1, v) = graft.queries.LlmOps.lmModel(docs)
+      c2.persist(); c1.persist(); c2.count(); c1.count()
+      val lmJoin = runOp("lmScoreStreamJoin",
+        graft.streaming.Streams.lmScoreStreamJoin(
+          stream(2), c2, c1, v, "15 minutes"))
+      Seq(dedup, lmJoin)
+    }
 
     // ---- minhash-LSH candidate stream (r14 VERDICT #2/#3) ----------
     // The one streaming op whose state (band buckets within the
@@ -409,7 +418,7 @@ object StreamBench {
       r.copy(pairCount = Some(c), pairHash = Some(h),
         violations = Some(cohabitationViolations("lshCandidates_h15")))
     }
-    val lshH60 = {
+    val lshH60 = if (liteLsh) None else Some {
       val r = runOp("lshCandidates_h60", lshStream(3600), idCol = "docId",
         horizonSecs = 3600)
       val (c, h) = pairStats(
@@ -419,7 +428,8 @@ object StreamBench {
     }
     val lshFull = {
       val r = runOp("lshCandidates_full", lshStream(corpusSpanSecs),
-        idCol = "docId", horizonSecs = corpusSpanSecs)
+        idCol = "docId", horizonSecs = corpusSpanSecs,
+        provider = if (liteLsh) "rocksdb" else "hdfs")
       val (c, h) = pairStats(
         spark.read.parquet(work.resolve("sink_lshCandidates_full").toString))
       val exact = c == expCount && h == expHash
@@ -446,10 +456,13 @@ object StreamBench {
         violations = Some(if (same) 0L else -1L))
     }
     banded.unpersist()
-    val results = Seq(dedup, lmJoin, lshH15, lshH60, lshFull, lshRocks)
+    val results = coreOps ++ Seq(Some(lshH15), lshH60, Some(lshFull),
+      Some(lshRocks)).flatten
 
-    val batchDedup = timedBatch("llm_dedup_exact")
-    val batchLm = timedBatch("llm_lm_score")
+    // lsh mode skips the dedup/LM batch anchors (their streaming arms
+    // didn't run); -1 marks "not measured" in the artifact
+    val batchDedup = if (liteLsh) -1.0 else timedBatch("llm_dedup_exact")
+    val batchLm = if (liteLsh) -1.0 else timedBatch("llm_lm_score")
     val batchLsh = timedBatch("llm_minhash_lsh")
 
     val json = {
@@ -466,8 +479,8 @@ object StreamBench {
            |   "provider": "${r.provider}", "horizon_secs": ${r.horizonSecs},
            |   "heap_after_gc_bytes": ${r.heapAfterGc}$extra}""".stripMargin
       }.mkString(",\n")
-      s"""{"sf": "$sfDir", "n_docs": $nDocs, "n_files": $nFiles, "shuffle_partitions": $parts,
-         | "protocol": "AvailableNow replay, maxFilesPerTrigger=2, ts=epoch+doc_id sec, 2 staggered flush docs drain append-mode state; progress via StreamingQueryListener (unbounded, r15); LSH pair sets reduced to count+xxhash64-sum, full-horizon set batch-replayed on the shared banded projection, h15 re-run under RocksDB must be identical",
+      s"""{"sf": "$sfDir", "n_docs": $nDocs, "n_files": $nFiles, "shuffle_partitions": $parts, "mode": "$mode",
+         | "protocol": "AvailableNow replay, maxFilesPerTrigger=2, ts=epoch+doc_id sec, 2 staggered flush docs drain append-mode state; progress via StreamingQueryListener (unbounded, r15); LSH pair sets reduced to count+xxhash64-sum, full-horizon set batch-replayed on the shared banded projection, h900 re-run under RocksDB must be identical; mode=lsh runs LSH arms only with the full-horizon arm under RocksDB and -1 marking unmeasured batch anchors",
          | "lsh_expected_full": {"pair_count": $expCount, "pair_hash": "$expHash"},
          | "batch_steady_sec": {"llm_dedup_exact": $batchDedup, "llm_lm_score": $batchLm, "llm_minhash_lsh": $batchLsh},
          |$ops
