@@ -39,6 +39,15 @@ object Probe {
     // overhead vs the default localCheckpoint on the same queries.
     sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
       .foreach(d => builder.config("spark.graft.checkpointDir", d))
+    // Optional per-stage profiling (r18, guide §7): write the Spark
+    // event log so a slow probe row can be broken into stage wall /
+    // shuffle bytes / task-time skew offline — the empirical loop the
+    // optimization guide demands, with the UI disabled.
+    sys.env.get("SPARK_GRAFT_EVENTLOG").filter(_.nonEmpty).foreach { dir =>
+      new java.io.File(dir).mkdirs()
+      builder.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", dir)
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println(s"[probe] sfDir=$sfDir cpus=$cpus shuffle.partitions=$parts" +
@@ -67,7 +76,10 @@ object Probe {
     }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      val ts = (1 to iters).map { _ =>
+      val ts = (1 to iters).zipWithIndex.map { case (_, it) =>
+        // label the jobs (guide §1.5) so event-log stages attribute
+        // to (query, iteration) without timestamp archaeology
+        spark.sparkContext.setJobDescription(s"$n#$it")
         val g0 = gcSec()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -413,11 +413,14 @@ object Clean {
       // oracle's string_agg ORDER BY tie-breaks exactly.
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"),
-          concat(col("l_partkey").cast("string"), lit(","),
-            col("l_suppkey").cast("string")).as("pt"))
+          col("l_partkey"), col("l_suppkey"))
+      // the rendered point is passed as an EXPRESSION: OrderedDigest
+      // renders it after its shuffle, so the exchange carries four
+      // narrow longs/ints per row, never the string
       val sig = graft.ops.OrderedDigest.perKeyDigest(li, "l_orderkey",
-        Seq("l_linenumber", "l_partkey", "l_suppkey"), "pt", sep = ";")
+        Seq("l_linenumber", "l_partkey", "l_suppkey"),
+        concat(col("l_partkey").cast("string"), lit(","),
+          col("l_suppkey").cast("string")), sep = ";")
         .select(col("digest").as("ssig"))
       sig.agg(count(lit(1)).as("n_shapes"),
         countDistinct("ssig").as("n_distinct"),
@@ -485,13 +488,13 @@ object Clean {
       // election below orders numerically, not lexicographically.
       val st = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_suppkey"), col("l_quantity"), col("l_discount"),
-          concat_ws(":",
-            col("l_suppkey").cast("string"),
-            col("l_quantity").cast("long").cast("string"),
-            round(col("l_discount") * 100).cast("long").cast("string")).as("stp"))
+          col("l_suppkey"), col("l_quantity"), col("l_discount"))
       val sig = graft.ops.OrderedDigest.perKeyDigest(st, "l_orderkey",
-        Seq("l_linenumber", "l_suppkey", "l_quantity", "l_discount"), "stp",
+        Seq("l_linenumber", "l_suppkey", "l_quantity", "l_discount"),
+        concat_ws(":",
+          col("l_suppkey").cast("string"),
+          col("l_quantity").cast("long").cast("string"),
+          round(col("l_discount") * 100).cast("long").cast("string")),
         sep = "|", takeChars = 8)
       sig.groupBy(col("digest").as("tsig"))
         .agg(min("l_orderkey").as("canonical"), count(lit(1)).as("n_trips"))

@@ -104,11 +104,17 @@ object LlmOps {
     * approx length quantiles per lang — extracted so the 100 TB path
     * (run the sketches ALONE; exact companions don't exist there) and
     * the spec (ApproxStatsSpec: error bounds + repartition
-    * invariance) share the exact plan the audit query flags against.
-    * Token-level HLL from the exploded stream (doc_id HLL alongside
-    * demonstrates the estimator under heavy per-key duplication);
-    * quantiles from DOC-level rows so they estimate the same statistic
-    * as llm_length_percentiles' exact answer. */
+    * invariance) share the plan the audit query flags against.
+    * Token-level HLL from the exploded INSTANCE stream — the shape a
+    * sketch-only consumer runs when the exact dedup is unaffordable
+    * (doc_id HLL alongside demonstrates the estimator under heavy
+    * per-key duplication); quantiles from DOC-level rows
+    * ([[approxLengthQuantiles]], shared with the audit query) so they
+    * estimate the same statistic as llm_length_percentiles' exact
+    * answer. The audit query (`llm_approx_stats`) rides its HLLs on
+    * its exact aggregations instead — HLL estimates are SET-defined,
+    * so both formulations return identical values; ApproxStatsSpec
+    * pins that identity. */
   private[graft] def approxStatsEstimates(
       s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
@@ -120,16 +126,27 @@ object LlmOps {
         approx_count_distinct(col("token"), rsd = 0.02)
           .as("distinct_tokens"),
         approx_count_distinct(col("doc_id"), rsd = 0.02).as("n_docs_est"))
-    val lengthQs = docs0
-      .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
-      .groupBy("lang").agg(
-        percentile_approx(col("n_tok"), lit(0.5), lit(10000))
-          .as("p50_tokens_est"),
-        percentile_approx(col("n_tok"), lit(0.9), lit(10000))
-          .as("p90_tokens_est"))
     // both sides are |languages| rows — the join is trivially local
-    tokenCards.join(lengthQs, Seq("lang"))
+    tokenCards.join(approxLengthQuantiles(s, d)
+      .withColumnRenamed("p50_est", "p50_tokens_est")
+      .withColumnRenamed("p90_est", "p90_tokens_est"), Seq("lang"))
   }
+
+  /** Approx per-lang doc-length quantiles (QuantileSummaries at
+    * accuracy 10000) — one partial-aggregating pass over doc rows, no
+    * shuffle beyond the |languages|-row merge. Shared by
+    * [[approxStatsEstimates]] and the `llm_approx_stats` audit; the
+    * audit passes its already-persisted (lang, n_tok) projection so
+    * the tokenize pass runs once for both quantile sides. */
+  private[graft] def approxLengthQuantiles(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      lens: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame =
+    lens.getOrElse(Tables.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).as("n_tok")))
+      .groupBy("lang").agg(
+        percentile_approx(col("n_tok"), lit(0.5), lit(10000)).as("p50_est"),
+        percentile_approx(col("n_tok"), lit(0.9), lit(10000)).as("p90_est"))
 
   private val shingleSql = // per-doc shingle rows; expects `toks` list col
     """SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
@@ -1056,18 +1073,50 @@ object LlmOps {
         |ORDER BY lang
         |""") { (s, d) =>
       val docs0 = Tables.documents(s, d)
-      val est = approxStatsEstimates(s, d).select(col("lang"),
-        col("distinct_tokens").as("tok_est"), col("n_docs_est").as("docs_est"),
-        col("p50_tokens_est").as("p50_est"), col("p90_tokens_est").as("p90_est"))
-      val exactCard = docs0
-        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
-        .groupBy("lang").agg(count_distinct(col("token")).as("distinct_tokens"))
-      val nDocs = docs0.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      val counts = docs0
+      // r18 OPT: the audit ran the exploded token stream TWICE — once
+      // inside approxStatsEstimates (HLL side) and once for the exact
+      // count_distinct — plus a third corpus pass for the doc_id HLL.
+      // HLL estimates are SET-defined (duplicate inserts are
+      // idempotent), so (a) the token HLL rides the exact-distinct
+      // dedup aggregation's second phase — one exploded pass, map-side
+      // dedup collapses the shuffle to per-partition-distinct pairs —
+      // and (b) the doc_id HLL rides the per-lang doc count (docs0 has
+      // one row per doc_id already; exploding first added nothing but
+      // duplicate inserts). Estimates are identical to
+      // approxStatsEstimates' by set-semantics; the flags audit the
+      // same estimator. sf1 probe: 3.0 → (re-measured below).
+      val tokDedup = fanout(docs0
+          .select(col("lang"), explode(split(col("text"), " ")).as("token")),
+          col("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("_c"))
+      val exactCard = tokDedup.groupBy("lang").agg(
+        count(lit(1)).as("distinct_tokens"),
+        approx_count_distinct(col("token"), rsd = 0.02).as("tok_est"))
+      val nDocs = docs0.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("doc_id"), rsd = 0.02).as("docs_est"))
+      // ONE tokenize pass feeds both quantile sides (r18 OPT): the
+      // (lang, n_tok) projection is ~8 bytes/doc — persist it (the
+      // lmModel/enc caller-owns-release pattern) instead of re-running
+      // scan + split for the exact histogram and the sketch separately
+      val lens = docs0
         .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
-        .groupBy("lang", "n_tok").agg(count(lit(1)).as("c"))
-      val cum = graft.ops.ExactRank.prefixSum(counts, "lang",
-        Seq(asc("n_tok")), col("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Releases.defer(() => { lens.unpersist(true); () })
+      val est = approxLengthQuantiles(s, d, Some(lens))
+      val counts = lens.groupBy("lang", "n_tok").agg(count(lit(1)).as("c"))
+      // plain window, not ops.ExactRank (r18 OPT): the window input is
+      // the HISTOGRAM — |langs| × |distinct doc lengths|, a dimension
+      // bound at any corpus size — so the single-task-per-group rank
+      // merge ExactRank exists to avoid cannot occur, and its
+      // sample-sort machinery (sample job + offset broadcast) was pure
+      // sequential-job overhead here
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy("n_tok").rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = counts
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
       def vAt(rank: Column) =
         min(when(col("cum") >= rank, col("n_tok"))).cast("long")
       // exact rank windows for the quantile flags: percentile_approx at

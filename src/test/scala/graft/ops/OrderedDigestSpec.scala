@@ -15,7 +15,7 @@ class OrderedDigestSpec extends SparkSpec {
     }
     val df = rows.toDF("k", "seq", "v").repartition(8)
 
-    val streaming = OrderedDigest.perKeyDigest(df, "k", Seq("seq"), "v")
+    val streaming = OrderedDigest.perKeyDigest(df, "k", Seq("seq"), col("v"))
       .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
       .toMap
 
@@ -40,7 +40,7 @@ class OrderedDigestSpec extends SparkSpec {
     val df = Seq(
       (10L, 2L, 1L, "b"), (10L, 1L, 2L, "a"), (10L, 1L, 1L, "c"),
       (9L, 1L, 1L, "z")).toDF("k", "s1", "s2", "v")
-    val got = OrderedDigest.perKeyDigest(df, "k", Seq("s1", "s2"), "v",
+    val got = OrderedDigest.perKeyDigest(df, "k", Seq("s1", "s2"), col("v"),
         sep = "|", takeChars = 8)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
       .toMap
@@ -64,7 +64,7 @@ class OrderedDigestSpec extends SparkSpec {
     val n = 200000
     val df = (0 until n).map(i => ("hot", i.toLong, s"v$i"))
       .toDF("k", "seq", "v").repartition(8)
-    val got = OrderedDigest.perKeyDigest(df, "k", Seq("seq"), "v")
+    val got = OrderedDigest.perKeyDigest(df, "k", Seq("seq"), col("v"))
       .collect()
     assert(got.length == 1 && got(0).getLong(2) == n.toLong)
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -79,7 +79,7 @@ class OrderedDigestSpec extends SparkSpec {
   test("single-row keys and empty partitions are handled") {
     val df = Seq(("a", 1L, "x"), ("b", 1L, "y")).toDF("k", "seq", "v")
       .repartition(16) // most partitions empty after keying
-    val out = OrderedDigest.perKeyDigest(df, "k", Seq("seq"), "v")
+    val out = OrderedDigest.perKeyDigest(df, "k", Seq("seq"), col("v"))
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(out == Map("a" -> 1L, "b" -> 1L))
   }

@@ -74,6 +74,31 @@ class ApproxStatsSpec extends SparkSpec {
     }
   }
 
+  test("audit-fused HLLs equal the instance-stream estimates (set semantics)") {
+    // r18 OPT: llm_approx_stats rides its HLLs on the exact
+    // aggregations — token HLL above the (lang, token) dedup, doc_id
+    // HLL on un-exploded doc rows — instead of re-running
+    // approxStatsEstimates' exploded instance stream. HLL inserts are
+    // idempotent, so estimates over the deduped set must be IDENTICAL
+    // to estimates over the instance stream; this pins that identity
+    // (the rewrite's whole correctness argument).
+    val docs = graft.Tables.documents(spark, sf)
+    val fused = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("_c"))
+      .groupBy("lang").agg(
+        approx_count_distinct(col("token"), rsd = 0.02).as("t"))
+      .join(docs.groupBy("lang").agg(
+        approx_count_distinct(col("doc_id"), rsd = 0.02).as("d")), Seq("lang"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val inst = approx()
+    assert(fused.keySet == inst.keySet)
+    fused.foreach { case (lang, (_, t, d)) =>
+      assert(t == inst(lang)._2, s"$lang token HLL: fused $t vs instance ${inst(lang)._2}")
+      assert(d == inst(lang)._3, s"$lang doc HLL: fused $d vs instance ${inst(lang)._3}")
+    }
+  }
+
   test("estimates are invariant under repartitioning (sketch merge determinism)") {
     val once = approx()
     val docs = graft.Tables.documents(spark, sf)
