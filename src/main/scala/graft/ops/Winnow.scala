@@ -29,19 +29,27 @@ object Winnow {
 
   /** Per-doc sorted distinct window-min shingle hashes.
     * Input: (doc_id, toks array); output: (doc_id, fps array<bigint>).
-    * The shingle rows are repartitioned on (doc_id, pos) before hashing
-    * so the sha256 runs cluster-wide even when the source is one input
-    * split; the window's own (doc_id) exchange follows. */
+    *
+    * r18 OPT (guide §2.3/§2.4): the spread used to repartition the
+    * EXPLODED (doc_id, pos, sh) rows — which shuffled the rendered
+    * shingle strings (61.8 MB at sf1) and, worse, left the render
+    * itself below the exchange on the scan's split count (event-log
+    * profile: 5.5 s of the query's 6.3 s on 2 tasks). The spread now
+    * repartitions DOC rows on doc_id: the window needs every doc's
+    * shingles on one task anyway, so hash(doc_id) both satisfies the
+    * window's clustering (its exchange disappears — one exchange
+    * total, down from two) and runs the render + sha at full width.
+    * A single pathological doc still serializes its own window — that
+    * was equally true before, at the window exchange. */
   def fingerprints(docs: DataFrame, window: Int = 4): DataFrame = {
-    val sh0 = docs
-      .select(col("doc_id"), posexplode(shingles(col("toks"))).as(Seq("pos", "sh")))
     // adaptive (cf. queries.fanout): only repartition when the source is
     // under-split, so production multi-file scans pay no extra exchange
     val spread =
-      if (sh0.rdd.getNumPartitions >=
-        sh0.sparkSession.sparkContext.defaultParallelism) sh0
-      else sh0.repartition(col("doc_id"), col("pos"))
+      if (docs.rdd.getNumPartitions >=
+        docs.sparkSession.sparkContext.defaultParallelism) docs
+      else docs.repartition(col("doc_id"))
     val h = spread
+      .select(col("doc_id"), posexplode(shingles(col("toks"))).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos"),
         conv(substring(sha2(col("sh"), 256), 1, 12), 16, 10).cast("long").as("hv"))
     val w = Window.partitionBy("doc_id").orderBy("pos")

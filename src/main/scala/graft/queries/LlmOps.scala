@@ -206,9 +206,20 @@ object LlmOps {
     // the 8 minima read plain array elements (r10 probe: the 8×
     // hex-substring+conv path held the signature agg at ~1.0 s steady
     // at sf0.1, the chunked path runs it at ~0.5 s).
-    val shing = fanout(
-      docs.select(col("doc_id"), explode(shingles(col("toks"))).as("sh")),
-      col("doc_id"), col("sh"))
+    // r18 OPT (guide §2.3): fan out the DOC rows, not the exploded
+    // shingles — the exchange carries the token arrays (~30 MB at sf1)
+    // instead of the rendered shingle strings (100 MB), and the render
+    // + explode run at full width instead of on the scan's split count
+    // (event-log profile: 4.2 s of llm_minhash_lsh's 5.5 s sat on 2
+    // pre-exchange tasks). The fanout key includes `toks` DELIBERATELY:
+    // hash(doc_id, toks) does not satisfy the groupBy(doc_id)
+    // clustering, so the signature aggregation keeps its own (tiny,
+    // 8-longs-per-doc) exchange — the dedup point the band self-join's
+    // two sides reuse. A doc_id-only fanout would eliminate that
+    // exchange and recompute the whole sha pipeline per side (measured
+    // r17: 2.6 s → 6.3 s).
+    val shing = fanout(docs, col("doc_id"), col("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
       .select(col("doc_id"), expr("sha256_chunks(sh)").as("ch"))
     val mhAggs = (0 until 8).map(j =>
       min(element_at(col("ch"), j + 1)).as(s"h$j"))
@@ -556,8 +567,15 @@ object LlmOps {
       val v = Tables.embeddings(s, d)
         .select(col("label"), col("vec_id"), col("embedding"),
           sqrt(dotScaled(s, "embedding", "embedding").cast("double")).as("nrm"))
-      val a = v.select(col("label"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
+      // r18 OPT: the label join broadcasts the build side at test scale
+      // (embeddings fit), so the ENTIRE per-pair dot-product loop — the
+      // suite's biggest single row, Σ cell² pairs — ran on the scan's
+      // 2 tasks (event-log: one 13 s map-only stage, maxtask = wall).
+      // Fanning out the PROBE side costs one ~5 MB vector exchange and
+      // runs the pair loop at full width; identity at production split
+      // counts. sf1: 22 → ~1.5 s.
+      val a = fanout(v.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na")), col("vec_a"))
       val b = v.select(col("label"), col("vec_id").as("vec_b"),
         col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, Seq("label"))
@@ -2412,12 +2430,23 @@ object LlmOps {
         |         '')), 1, 12) AS kept_digest
         |FROM marked GROUP BY doc_id ORDER BY doc_id
         |""") { (s, d) =>
-      val lines = Tables.documents(s, d)
+      // r18 OPT: `hashed` below has TWO consumers (the duplicate-set
+      // aggregation and the removal join), so the whole scan → split →
+      // line-render → hash pipeline ran TWICE, and — single-row-group
+      // test parquet — each run sat on the scan's 2 tasks (event-log
+      // profile: 3.2 s + 2.8 s of the query's 6.8 s). A fanout at the
+      // SOURCE gives both consumers one exchange that AQE reuses
+      // (ReusedExchange — the llm_minhash_lsh pattern), and the
+      // per-line work above it runs at full shuffle width. The old
+      // `size(toks) > 0` guard only rejected NULL text (split always
+      // yields ≥1 element otherwise) — stated directly so the text
+      // can ship unsplit and tokenize post-exchange (guide §2.3).
+      val lines = fanout(Tables.documents(s, d)
+          .where(col("text").isNotNull)
+          .select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .where(size(col("toks")) > 0)
         .select(col("doc_id"), posexplode(expr(
-          // sequence() needs the guard above: with an empty token array
-          // the stop would be -1 and sequence(0, -1) DESCENDS.
+          // sequence() ascends: size(toks) >= 1 under the NULL guard
           "transform(sequence(0, (size(toks) + 2) div 3 - 1), " +
             "j -> array_join(slice(toks, j*3 + 1, 3), ' '))")).as(Seq("li", "line")))
       // the dup branch keys on a 64-bit line hash, not the line string:
@@ -2740,10 +2769,17 @@ object LlmOps {
     * adjacent tokens. */
   private[graft] def lmBigrams(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val ws = split(col("text"), " ")
+    // r18 OPT (guide §2.3): the fanout exchange used to carry the
+    // split token ARRAY, which put the whole tokenize pass on the
+    // scan's split count (2 tasks at sf1 — 0.9 s per bg consumer).
+    // Ship the raw text and split POST-exchange instead: same bytes
+    // on the wire, tokenize runs at full shuffle width — and the
+    // ≥2-token guard becomes a byte scan (text has ≥2 space-separated
+    // tokens iff it contains a space; NULL text fails both forms).
     fanout(docs
-        .where(size(ws) >= 2)
-        .select(col("doc_id"), ws.as("ws")), col("doc_id"))
+        .where(col("text").contains(" "))
+        .select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
           "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"))

@@ -17,11 +17,23 @@ package object queries {
     * and fanout is the identity, so no query pays an extra all-data
     * exchange for what is purely a small-input parallelization aid.
     * (getNumPartitions plans the RDD lineage but runs no job; fanout
-    * inputs here are scan+narrow pipelines, never post-shuffle plans.) */
+    * inputs here are scan+narrow pipelines, never post-shuffle plans.)
+    *
+    * Width PINNED (r18, cf. ops.OrderedDigest): a bare
+    * repartition(col) is REPARTITION_BY_COL, which AQE's byte-based
+    * coalescer may legally shrink — and did: llm_cosine_neardup's
+    * 5.5 MB probe-side fanout coalesced to 5 tasks, each 1 MB
+    * partition expanding to millions of pair dot-products the
+    * advisory size cannot see. EVERY fanout call site exists because
+    * the stage above it is compute-heavy relative to its bytes, so
+    * coalescing is wrong here by construction. The pin is the
+    * session's ShuffleWidth-derived value — scale-adaptive, not a
+    * local-core constant. */
   def fanout(df: DataFrame, key: Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(key: _*)
+    else df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, key: _*)
   }
 
   /** Epoch seconds as BIGINT. Parquet timestamps arrive as TIMESTAMP_NTZ
