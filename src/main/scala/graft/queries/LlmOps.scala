@@ -1101,8 +1101,9 @@ object LlmOps {
       // and (b) the doc_id HLL rides the per-lang doc count (docs0 has
       // one row per doc_id already; exploding first added nothing but
       // duplicate inserts). Estimates are identical to
-      // approxStatsEstimates' by set-semantics; the flags audit the
-      // same estimator. sf1 probe: 3.0 → (re-measured below).
+      // approxStatsEstimates' by set-semantics (ApproxStatsSpec pins
+      // the identity); the flags audit the same estimator. sf1 probe:
+      // 3.0 → ~2.0 s steady.
       val tokDedup = fanout(docs0
           .select(col("lang"), explode(split(col("text"), " ")).as("token")),
           col("token"))

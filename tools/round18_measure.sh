@@ -79,6 +79,14 @@ BASELINE_SKIP=llm_cluster_fixpoint python3 tools/baseline_duckdb.py \
   || stamp "BASELINE sf1 FAILED"
 
 # ---- 3. sf1000 LSH decade (r17 VERDICT #8 stretch) ----
+# The 50 M-doc corpus is ~100 GB+ generated parquet; skip cleanly when
+# the sandbox doesn't hold it (r18: free disk < corpus, documented in
+# OPTIMIZATION_r18.md "Not yet optimized").
+if [ ! -d /tmp/graftdata/sf1000 ]; then
+  stamp "sf1000 corpus absent - skipping the stretch decade"
+  stamp "=== chain complete (sf1000 skipped) ==="
+  exit 0
+fi
 stamp "streambench sf1000 lsh mode starts (50M docs)"
 SPARK_DRIVER_MEM=64g sbt -batch \
   "runMain graft.StreamBench /tmp/graftdata/sf1000 /root/repo/STREAMBENCH_SF1000_r18.json lsh" \
