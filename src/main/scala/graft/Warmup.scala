@@ -158,7 +158,7 @@ object Warmup {
             col("doc_id").as("doc_b")), Seq("band_id", "k1", "k2"))
           .where(col("doc_a") < col("doc_b")).select("doc_a", "doc_b").distinct()
         val shs = docs.select(col("doc_id"), expr("ngram_hashes(toks, 3)").as("shs"))
-          .repartition(col("doc_id"))
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         cand
           .join(shs.select(col("doc_id").as("doc_a"), col("shs").as("sha_")), Seq("doc_a"))
           .join(shs.select(col("doc_id").as("doc_b"), col("shs").as("shb_")), Seq("doc_b"))

@@ -127,9 +127,15 @@ object Ivf {
     // doubles/row). Trade-off vs .checkpoint(): not fault-tolerant to
     // executor loss; a production cluster run would set a checkpoint
     // dir and use reliable checkpoints here.
+    // width pinned (r19, cf. queries.fanout): the k×N distance loop
+    // above this exchange is compute-heavy relative to its bytes, so
+    // AQE's byte-based coalescer shrinking a REPARTITION_BY_COL here
+    // would re-serialize the loop; session width, scale-adaptive
     val vectors = embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding_d"))
-      .repartition(col("vec_id"))
+      .repartition(
+        embeddings.sparkSession.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
       .pin(false)
     // seeds stay DISTRIBUTED (r10 VERDICT #4: with the production knob
     // k ∝ N, per-iteration k-row driver materializations make the
@@ -176,7 +182,9 @@ object Ivf {
   private def buildFused(embeddings: DataFrame, k: Int): Index = {
     val vectors = embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding_d"))
-      .repartition(col("vec_id"))
+      .repartition(
+        embeddings.sparkSession.sessionState.conf.numShufflePartitions,
+        col("vec_id")) // width pinned — see buildIndex
     // k-row ranked window AFTER the limit: the global window only ever
     // sees the k seed rows
     val c0 = vectors.orderBy("vec_id").limit(k)

@@ -43,11 +43,18 @@ object Winnow {
     * was equally true before, at the window exchange. */
   def fingerprints(docs: DataFrame, window: Int = 4): DataFrame = {
     // adaptive (cf. queries.fanout): only repartition when the source is
-    // under-split, so production multi-file scans pay no extra exchange
+    // under-split, so production multi-file scans pay no extra exchange.
+    // Width PINNED (r19, r18 VERDICT #4): bare repartition(col) is
+    // REPARTITION_BY_COL, which AQE's byte-based coalescer may shrink —
+    // and the shingle render + sha256 above this exchange is
+    // compute-heavy relative to its bytes, exactly the hazard fanout()
+    // and OrderedDigest pin against. Same input-derived session width,
+    // not a local-core constant.
     val spread =
       if (docs.rdd.getNumPartitions >=
         docs.sparkSession.sparkContext.defaultParallelism) docs
-      else docs.repartition(col("doc_id"))
+      else docs.repartition(
+        docs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
     val h = spread
       .select(col("doc_id"), posexplode(shingles(col("toks"))).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos"),

@@ -167,17 +167,24 @@ object Bookkeeping {
         |GROUP BY o_custkey
         |ORDER BY o_custkey
         |""") { (s, d) =>
+      // r19 (r18 VERDICT #3): the original `collect_list + array_sort +
+      // sha2(array_join)` held every group's member digests in executor
+      // memory — unbounded per-key state on a hot customer key, the
+      // exact scale-killer ops.OrderedDigest was written for (its
+      // header cites THIS query as the motivating case; c14/c16
+      // migrated in r18, h3 never did). The streaming digest computes
+      // the same sha256-of-ordered-concat with O(1) per-key state: the
+      // oracle's `string_agg(d, '' ORDER BY o_orderkey)` is exactly the
+      // digest's determinism contract (o_orderkey is unique per row, a
+      // total order), and the exchange narrows to the three typed
+      // source columns with the member-digest render above it.
       val part = substring(
         sha2(concat(col("o_orderpriority"), col("o_orderkey").cast("string")), 256), 1, 6)
-      Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderkey"), part.as("d"))
-        .groupBy("o_custkey")
-        .agg(
-          substring(sha2(
-            array_join(transform(
-              array_sort(collect_list(struct(col("o_orderkey"), col("d")))),
-              x => x.getField("d")), ""), 256), 1, 6).as("feed_digest"),
-          count(lit(1)).as("n_parts"))
+      graft.ops.OrderedDigest.perKeyDigest(
+          Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_orderpriority"),
+          "o_custkey", Seq("o_orderkey"), part, sep = "", takeChars = 6)
+        .select(col("o_custkey"), col("digest").as("feed_digest"),
+          col("n").as("n_parts"))
     },
   )
 }

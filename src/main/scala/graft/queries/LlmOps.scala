@@ -119,9 +119,15 @@ object LlmOps {
       s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val docs0 = Tables.documents(s, d)
-    val tokenCards = fanout(docs0
-        .select(col("lang"), col("doc_id"),
-          explode(split(col("text"), " ")).as("token")), col("doc_id"))
+    // fanout the DOC rows and explode above the exchange (r19, the
+    // lmBigrams ship-raw-text pattern): the exchange carries one text
+    // per doc instead of one row per token instance, and the
+    // tokenize+explode runs at the fanout width, not the scan's split
+    // count. HLL inserts are set-idempotent, so estimates are
+    // unchanged by where the explode runs.
+    val tokenCards = fanout(docs0.select("doc_id", "lang", "text"), col("doc_id"))
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
       .groupBy("lang").agg(
         approx_count_distinct(col("token"), rsd = 0.02)
           .as("distinct_tokens"),
@@ -358,9 +364,16 @@ object LlmOps {
     // signature pipeline via exchange reuse on the groupBy(doc_id)
     // exchange, and the sha256 partial aggregation below it must stay
     // below that exchange to be computed once. Fanout variants measured
-    // at sf0.1: none 2.6 s, fanout(doc_id) 6.3 s (groupBy exchange
+    // at sf0.1 (r17): none 2.6 s, fanout(doc_id) 6.3 s (groupBy exchange
     // eliminated → signatures computed twice), fanout(doc_id, text)
     // 3.6 s (extra shuffle + AQE barrier beat the parallelism gain).
+    // NOT contradicted by minhashSigs' r18 fanout(docs, doc_id, toks)
+    // win: that spread is a DIFFERENT site — it keys (doc_id, toks) so
+    // it deliberately does NOT satisfy the groupBy(doc_id) clustering,
+    // preserving the exchange-reuse this comment protects, and the r18
+    // event-log re-measurement (pinned width, render above the
+    // exchange) is what flipped ITS verdict; the bare source-level
+    // fanout measured here stays a loss for the reason given.
     docs.unionByName(docs.select(
       (col("doc_id") + 1000000).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text")))
@@ -530,9 +543,14 @@ object LlmOps {
       // unless two DIFFERENT grams of the same pair collide in 64 bits
       // (~1e-10 at corpus scale) — same internal-key argument as
       // simhash/repeated_ngrams; the oracle compares string shingles.
+      // width pinned (r19, r18 VERDICT #8 sweep): the two candidate
+      // joins' merge-walk intersects run above this exchange; a
+      // coalesced REPARTITION_BY_COL would shrink them (cf. fanout)
       val shs = docs
         .select(col("doc_id"), expr("ngram_hashes(toks, 3)").as("shs"))
-        .repartition(col("doc_id"))
+        .repartition(
+          docs.sparkSession.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
       val inter = expr("sorted_intersect_count(sha_, shb_)")
       cand
         .join(shs.select(col("doc_id").as("doc_a"), col("shs").as("sha_")), Seq("doc_a"))
@@ -1096,23 +1114,40 @@ object LlmOps {
       // count_distinct — plus a third corpus pass for the doc_id HLL.
       // HLL estimates are SET-defined (duplicate inserts are
       // idempotent), so (a) the token HLL rides the exact-distinct
-      // dedup aggregation's second phase — one exploded pass, map-side
-      // dedup collapses the shuffle to per-partition-distinct pairs —
-      // and (b) the doc_id HLL rides the per-lang doc count (docs0 has
-      // one row per doc_id already; exploding first added nothing but
-      // duplicate inserts). Estimates are identical to
-      // approxStatsEstimates' by set-semantics (ApproxStatsSpec pins
-      // the identity); the flags audit the same estimator. sf1 probe:
-      // 3.0 → ~2.0 s steady.
-      val tokDedup = fanout(docs0
-          .select(col("lang"), explode(split(col("text"), " ")).as("token")),
-          col("token"))
+      // dedup aggregation's second phase, and (b) the doc_id HLL rides
+      // the per-lang doc count (docs0 has one row per doc_id already;
+      // exploding first added nothing but duplicate inserts).
+      // Estimates are identical to approxStatsEstimates' by
+      // set-semantics (ApproxStatsSpec pins the identity); the flags
+      // audit the same estimator. sf1 probe: 3.0 → ~2.0 s steady.
+      //
+      // r19 (r18 ADVICE): the r18 shape fanned out the EXPLODED rows on
+      // token — which parked the groupBy's partial aggregate ABOVE the
+      // fanout exchange (hash(token) already satisfies the (lang,
+      // token) clustering), so the shuffle carried raw token INSTANCES
+      // keyed by token alone and a Zipf-frequent token concentrated
+      // every instance on one task. Fanning out the DOC rows on doc_id
+      // instead (the lmBigrams ship-raw-text pattern) runs the
+      // explode+split at full width ABOVE the fanout exchange and
+      // keeps the true map-side partial dedup BELOW the groupBy's own
+      // ENSURE_REQUIREMENTS shuffle — per-partition-distinct (lang,
+      // token) pairs on the wire, no hot-token task.
+      val tokDedup = fanout(docs0.select("doc_id", "lang", "text"), col("doc_id"))
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
         .groupBy("lang", "token").agg(count(lit(1)).as("_c"))
       val exactCard = tokDedup.groupBy("lang").agg(
         count(lit(1)).as("distinct_tokens"),
         approx_count_distinct(col("token"), rsd = 0.02).as("tok_est"))
+      // doc HLL input gated on text non-NULL (r18 ADVICE): the
+      // instance-stream estimator (approxStatsEstimates) only ever
+      // sees doc_ids whose text survives explode(split(text)) — NULL
+      // text yields no rows there — so the audit HLL must skip them
+      // too or the claimed estimate identity breaks on a corpus with
+      // NULL-text documents. approx_count_distinct ignores NULL
+      // inputs; n_docs itself stays the oracle's unfiltered count(*).
       val nDocs = docs0.groupBy("lang").agg(count(lit(1)).as("n_docs"),
-        approx_count_distinct(col("doc_id"), rsd = 0.02).as("docs_est"))
+        approx_count_distinct(
+          when(col("text").isNotNull, col("doc_id")), rsd = 0.02).as("docs_est"))
       // ONE tokenize pass feeds both quantile sides (r18 OPT): the
       // (lang, n_tok) projection is ~8 bytes/doc — persist it (the
       // lmModel/enc caller-owns-release pattern) instead of re-running

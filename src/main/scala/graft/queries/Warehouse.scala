@@ -392,12 +392,14 @@ object Warehouse {
       // hashes an 8-byte long instead of building + hashing a string
       // per edge row (r10 probe: the string-keyed loop held steady at
       // ~3.1 s; long keys + deg-reuse cut it to ~1.7 s).
+      // No distinct() here (r19): pagerank3's build dedups inside the
+      // one exchange it pays anyway — a separate distinct() exchange
+      // on (src, dst) was a third shuffle of the edge set.
       val eo = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
       pagerank3(eo)
         .select(when(col("node") % 2 === 0,
             concat(lit("c"), expr("node div 2")))
@@ -704,12 +706,14 @@ object Warehouse {
       .select(col("e1.src").as("a"), col("e1.dst").as("b"),
         col("e2.dst").as("c"))
 
-  /** The q22 loop from a distinct `(src, dst)` edge frame onward:
-    * symmetrize, decorate with out-degree, persist the loop-invariant
-    * edge set (released at the caller's drain), run 3 integer-ppm
-    * PageRank iterations — one join+agg shuffle each. Factored out of
-    * the QueryDef so Warmup can compile the loop's exact plan shapes on
-    * a toy graph (the c8Summary pattern: the per-iteration join+agg
+  /** The q22 loop from a directed `(src, dst)` edge frame onward
+    * (duplicate pairs allowed — the build dedups internally, so the
+    * caller does not pay a separate distinct() exchange): symmetrize,
+    * dedup, decorate with out-degree, persist the loop-invariant edge
+    * set (released at the caller's drain), run 3 integer-ppm PageRank
+    * iterations — one join+agg shuffle each. Factored out of the
+    * QueryDef so Warmup can compile the loop's exact plan shapes on a
+    * toy graph (the c8Summary pattern: the per-iteration join+agg
     * codegen otherwise lands in the first timed bench row — r9 bench
     * medians: 6.4 s first vs 3.4 s steady).
     *
@@ -734,10 +738,41 @@ object Warehouse {
     // iterations — the whole-query dominant cost). This is the
     // partitioning-reuse play that holds at any scale; broadcasting
     // contrib instead would NOT (it is |V|-sized, unbounded).
-    val edge0 = eo.unionByName(
-      eo.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-      .sortWithinPartitions("src")
+    // Width PINNED (r19, r18 VERDICT #8 sweep): bare repartition(col)
+    // is REPARTITION_BY_COL — if the coalescer ever shrank the cached
+    // build (the conf guarding cached-plan partitioning is a default,
+    // not a guarantee), every iteration's contrib exchange (session
+    // width) would stop matching the cached layout and the planner
+    // would re-shuffle the |E|-sized side 3× — the exact failure this
+    // persist exists to prevent. The pin makes the cached width equal
+    // the ENSURE_REQUIREMENTS width by construction.
+    val prWidth = eo.sparkSession.sessionState.conf.numShufflePartitions
+    // r19 build rewrite (r18 VERDICT #5; event-log profile: the edge
+    // BUILD was ~3 s of q22's 6.3 s sf1 steady, the iterations ~0.5 s
+    // each). The r18 shape paid three exchanges before the loop — the
+    // caller's distinct() (hash(src,dst), with its reduce-side agg then
+    // executed TWICE, once per union branch), plus this repartition —
+    // and a hash-agg pass. Now: symmetrize IN-ROW (inline of both
+    // orientations — no union, so the upstream join subtree appears
+    // once in the plan), ship both orientations through the ONE pinned
+    // exchange the persist needs anyway, and dedup with a lag filter
+    // over the (src, dst) sort this layout also needs anyway — the
+    // window's clustering and ordering are exactly the exchange+sort
+    // below it, so the dedup adds NO exchange, NO extra sort, and no
+    // hash table. Build total: 1 exchange (was 3 incl. the caller's),
+    // 0 hash aggs (was 1, run twice). The sorted-by-(src, dst) cached
+    // layout still satisfies the per-iteration SortMergeJoin's
+    // src-ordering requirement (prefix).
+    val both = eo.select(expr(
+      "inline(array(named_struct('src', src, 'dst', dst), " +
+        "named_struct('src', dst, 'dst', src)))"))
+    val wDedup = Window.partitionBy("src").orderBy("dst")
+    val edge0 = both
+      .repartition(prWidth, col("src"))
+      .sortWithinPartitions("src", "dst")
+      .withColumn("_prev", lag("dst", 1).over(wDedup))
+      .where(col("_prev").isNull || col("_prev") =!= col("dst"))
+      .select("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.ops.Releases.defer(() => { edge0.unpersist(false); () })
     // deg persists separately: it IS the node table (one row per node —
